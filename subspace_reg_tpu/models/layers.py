@@ -1,0 +1,147 @@
+"""Building-block layers with PyTorch-faithful numerics, NHWC/TPU-native.
+
+Faithfulness notes (each cites the reference behavior it reproduces):
+
+* ``TorchBatchNorm`` matches ``nn.BatchNorm2d`` defaults (momentum 0.1,
+  eps 1e-5): train mode normalizes with the *biased* batch variance while the
+  running variance is updated with the *unbiased* estimate; eval mode uses
+  running stats.  The incremental engine depends on this exact contract
+  (reference eval/language_eval.py:211 puts the net in train mode for the
+  first fine-tune epoch, so support batches update running stats).
+* ``DropBlock`` reproduces models/resnet_language.py:303-357 including the
+  normalization by countM/count_ones, and the block-mask geometry
+  (left pad (bs-1)//2, right pad bs//2).
+* ``SELayer`` implements the *intended* squeeze-excitation
+  (models/resnet_language.py:359-374).  The reference's SE is latently dead:
+  an orphaned second ``forward`` (models/resnet_language.py:378-400)
+  overrides it and raises on use.  We ship the working layer and note the
+  deviation here.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def kaiming_normal_fan_out():
+    """torch.nn.init.kaiming_normal_(mode='fan_out', nonlinearity='leaky_relu')
+    with the torch default a=0 => gain sqrt(2); used for every conv
+    (reference models/resnet_language.py:131-133)."""
+    return nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def conv3x3(features: int, stride: int = 1, name: Optional[str] = None) -> nn.Conv:
+    """3x3 conv, padding 1, no bias (reference models/resnet_language.py:402-405)."""
+    return nn.Conv(
+        features, (3, 3), strides=(stride, stride),
+        padding=[(1, 1), (1, 1)], use_bias=False,
+        kernel_init=kaiming_normal_fan_out(), name=name,
+    )
+
+
+def conv1x1(features: int, name: Optional[str] = None) -> nn.Conv:
+    """1x1 downsample conv (reference models/resnet_language.py:144-149)."""
+    return nn.Conv(
+        features, (1, 1), strides=(1, 1), padding="VALID", use_bias=False,
+        kernel_init=kaiming_normal_fan_out(), name=name,
+    )
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm2d with torch-exact running-stat semantics over NHWC inputs."""
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32))
+
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axes)
+            # biased variance for normalization (torch train-mode behavior)
+            var = jnp.mean(jnp.square(x), axes) - jnp.square(mean)
+            var = jnp.maximum(var, 0.0)
+            if not self.is_initializing():
+                n = x.size // self.features
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.eps)
+        return (x - mean) * (inv * scale) + bias
+
+
+class DropBlock(nn.Module):
+    """Structured feature-map dropout (reference models/resnet_language.py:303-357).
+
+    ``gamma`` is computed by the caller (the ramped schedule lives in
+    BasicBlock, reference models/resnet_language.py:295-296).  Identity when
+    not training, mirroring the torch module's ``self.training`` switch.
+    """
+
+    block_size: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, gamma: jax.Array, train: bool) -> jax.Array:
+        if not train:
+            return x
+        bs = self.block_size
+        b, h, w, c = x.shape
+        rng = self.make_rng("dropout")
+        # seeds on the valid grid (H-bs+1, W-bs+1); reference samples a
+        # Bernoulli mask of that shape (resnet_language.py:318)
+        seeds = jax.random.bernoulli(
+            rng, gamma, (b, h - (bs - 1), w - (bs - 1), c)).astype(jnp.float32)
+        # place seeds on an HxW canvas: seed at (i,j) marks block (i..i+bs-1)
+        canvas = jnp.pad(
+            seeds, ((0, 0), (0, bs - 1), (0, bs - 1), (0, 0)))
+        # dilate each seed to a bs x bs block: max over trailing window
+        block = jax.lax.reduce_window(
+            canvas, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, bs, bs, 1),
+            window_strides=(1, 1, 1, 1),
+            padding=((0, 0), (bs - 1, 0), (bs - 1, 0), (0, 0)),
+        )
+        block_mask = 1.0 - jnp.maximum(block, 0.0)
+        count_m = jnp.asarray(block_mask.size, jnp.float32)
+        count_ones = jnp.sum(block_mask)
+        return block_mask * x * (count_m / count_ones)
+
+
+class SELayer(nn.Module):
+    """Squeeze-excitation (reference models/resnet_language.py:359-374)."""
+
+    channels: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = jnp.mean(x, axis=(1, 2))  # (B, C)
+        y = nn.Dense(self.channels // self.reduction, name="fc1")(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.channels, name="fc2")(y)
+        y = nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+def max_pool_torch(x: jax.Array, stride: int) -> jax.Array:
+    """nn.MaxPool2d(stride): kernel=stride=stride, floor mode, no padding
+    (reference models/resnet_language.py:256,290).  Identity when stride==1."""
+    if stride == 1:
+        return x
+    return nn.max_pool(x, (stride, stride), strides=(stride, stride), padding="VALID")
