@@ -1,0 +1,130 @@
+"""miniImageNet loading + the continual (multi-session) class split.
+
+The split protocol is the reproducibility contract of the whole FSCIL
+pipeline; the np.random call sequence below matches the reference
+bit-for-bit (dataset/mini_imagenet.py:30,70-126):
+
+  seed(set_seed)
+  shuffle(arange(100))                -> 60 sorted base classes, 40 novel
+  [train split] gather base sample indices, shuffle them, partition into
+  500/class train | 50/class val | rest test (pooled indices, not
+  per-class!), then relabel base classes to 0..59 via ``basec_map``.
+
+No torch, no PIL: images stay uint8 numpy until they hit the device
+augmentation ops.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .pickles import load_pickle_latin1
+
+N_TOTAL_CLASSES = 100
+N_BASE_CLASSES = 60
+TRAIN_PER_CLASS = 500   # reference hardcodes 500/50 (mini_imagenet.py:85)
+VAL_PER_CLASS = 50
+
+
+@dataclass
+class SplitData:
+    """One loaded split: uint8 images + integer labels + vocab metadata."""
+
+    imgs: np.ndarray                      # (N, H, W, 3) uint8
+    labels: List[int]
+    cat2label: Dict[str, int]
+    label2human: List[str]
+    basec_map: Optional[Dict[int, int]] = None   # base class -> 0..59
+    global_labels: List[int] = field(default_factory=list)
+
+    def __post_init__(self):
+        if not self.global_labels:
+            self.global_labels = list(self.labels)
+
+    def __len__(self):
+        return len(self.labels)
+
+    def test_item(self, i: int):
+        """(uint8 image, 0-based target) — reference __getitem__ subtracts
+        min(labels) (mini_imagenet.py:168)."""
+        target = self.labels[i] - min(self.labels)
+        return self.imgs[i], target
+
+
+def _read_label2human(data_root: str, cat2label: Dict[str, int],
+                      n_classes: int = N_TOTAL_CLASSES) -> List[str]:
+    """class_labels.txt: '<wnid> <human_name_with_underscores>'
+    (reference mini_imagenet.py:127-136)."""
+    label2human = [""] * n_classes
+    path = os.path.join(data_root, "class_labels.txt")
+    with open(path, "r") as f:
+        for line in f.readlines():
+            catname, humanname = line.strip().lower().split(" ")
+            humanname = " ".join(humanname.split("_"))
+            if catname in cat2label:
+                label2human[cat2label[catname]] = humanname
+    return label2human
+
+
+def load_mini_imagenet(opt, split: str = "train",
+                       phase: Optional[str] = None,
+                       train_per_class: int = TRAIN_PER_CLASS,
+                       val_per_class: int = VAL_PER_CLASS) -> SplitData:
+    """Load miniImageNet with the reference's RNG-exact continual split."""
+    np.random.seed(opt.set_seed)
+
+    if opt.continual:
+        file_pattern = "all.pickle"
+    else:
+        if split == "train":
+            file_pattern = f"miniImageNet_category_split_train_phase_{phase}.pickle"
+        else:
+            file_pattern = f"miniImageNet_category_split_{split}.pickle"
+
+    data = load_pickle_latin1(os.path.join(opt.data_root, file_pattern))
+    imgs = data["data"]
+    labels = list(data["labels"])
+    cat2label = dict(data["catname2label"])
+    basec_map = None
+
+    if opt.continual:
+        all_classes = np.arange(N_TOTAL_CLASSES)
+        np.random.shuffle(all_classes)
+        basec = np.sort(all_classes[:N_BASE_CLASSES])
+        basec_map = dict(zip(basec.tolist(), range(len(basec))))
+        valc = all_classes[N_BASE_CLASSES:]
+
+        if split == "train":
+            base_samples = [i for i, e in enumerate(data["labels"]) if e in basec]
+            np.random.shuffle(base_samples)
+            nbc = len(basec)
+            n_tr, n_val = train_per_class * nbc, val_per_class * nbc
+            parts = {
+                "train": np.array(base_samples[:n_tr]),
+                "val": np.array(base_samples[n_tr:n_tr + n_val]),
+                "test": np.array(base_samples[n_tr + n_val:]),
+            }
+            if phase not in parts:
+                raise ValueError(f"Phase {phase} is unrecognized for split train.")
+            sel = parts[phase]
+            labels = [basec_map[labels[i]] for i in sel]
+            imgs = imgs[sel, :]
+            cat2label = {k: basec_map[v] for k, v in cat2label.items()
+                         if v in basec_map}
+        elif split == "val":
+            valc_set = set(valc.tolist())
+            sel = np.array([i for i, e in enumerate(data["labels"])
+                            if e in valc_set])
+            labels = [labels[i] for i in sel]
+            imgs = imgs[sel, :]
+            cat2label = {k: v for k, v in cat2label.items() if v in valc_set}
+        else:
+            raise ValueError(f"No such split as {split}.")
+
+    label2human = _read_label2human(opt.data_root, cat2label)
+    return SplitData(imgs=imgs, labels=labels, cat2label=cat2label,
+                     label2human=label2human, basec_map=basec_map)
