@@ -1,0 +1,583 @@
+"""Incremental FSCIL engine — the TPU-native counterpart of
+``few_shot_finetune_incremental_test`` (reference eval/language_eval.py:71-454).
+
+Design (one jit-compiled *session program*, compiled once, serving all 8
+sessions through padded buffers + dynamic scalars):
+
+  epoch 1   train-mode forward of support (+ padded replay memory with
+            masked BN stats), loss = CE (+ replay CE + the three
+            regularizers), one optimizer step.  This is the ONLY train-mode
+            work per session: the reference switches the net to eval() at the
+            end of every epoch via ``validate`` (language_eval.py:18-19,321)
+            and never switches back, so from epoch 2 on all its forwards run
+            in eval mode with the running stats frozen after epoch 1 —
+            features are therefore CONSTANT across epochs 2..N.
+  cache     eval-mode 640-d features of support/memory/queries/base batch,
+            computed once per session (the reference recomputes the conv
+            backbone every epoch — language_eval.py:252-258,321-326 — pure
+            waste this engine eliminates).
+  epochs 2+ ``lax.while_loop`` over pure classifier-head steps on cached
+            features, carrying (params, momentum, prev_loss, stable_count,
+            epoch, stop) and reproducing the reference stop logic
+            (language_eval.py:298-318): stable-epoch convergence,
+            target-train-loss + min epochs, max epochs.
+  evaluate  per-session novel query chunks + the fixed 1000-image base batch
+            (language_eval.py:321-326,361-367).
+
+Host-side, the ``IncrementalEngine`` keeps the reference's global np.random
+stream contract (episode sampling reseeds per item; the replay-memory index
+draw continues the stream — language_eval.py:352-359).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import MAX_SESSIONS
+from ..data.episodes import EpisodeSampler, get_vocabs
+from ..data.memory import ReplayMemory
+from ..data.transforms import transforms_test_options
+from ..models import head as head_lib
+from ..models import lang_puller as lp
+from ..ops import augment as aug_ops
+from ..ops import losses
+from ..utils import optim as optim_lib
+
+
+# --------------------------------------------------------------------------
+# static geometry
+# --------------------------------------------------------------------------
+@dataclass(frozen=True)
+class SessionGeometry:
+    n_ways: int
+    n_shots: int
+    n_aug: int
+    n_queries: int
+    n_base_support: int          # 0 or n_base (1 exemplar per base class)
+    orig_base: int               # 60 for miniImageNet continual
+    max_sessions: int
+    feat_dim: int
+    img_size: int
+    base_eval_n: int
+
+    @property
+    def n_novel_support(self) -> int:
+        return self.n_ways * self.n_shots * self.n_aug
+
+    @property
+    def n_support(self) -> int:
+        return self.n_novel_support + self.n_base_support
+
+    @property
+    def n_query_per_session(self) -> int:
+        return self.n_ways * self.n_queries
+
+    @property
+    def max_queries(self) -> int:
+        return self.max_sessions * self.n_query_per_session
+
+    @property
+    def max_novel(self) -> int:
+        return self.max_sessions * self.n_ways
+
+    @property
+    def max_classes(self) -> int:
+        return self.orig_base + self.max_novel
+
+    @property
+    def mem_add(self) -> int:
+        # hardcoded 5-way/5-shot/5-aug index math (language_eval.py:354-358)
+        return 25
+
+    @property
+    def max_memory(self) -> int:
+        return self.mem_add * self.max_sessions
+
+
+def build_geometry(opt, n_base: int, img_size: int,
+                   base_eval_n: int, feat_dim: int = 640) -> SessionGeometry:
+    return SessionGeometry(
+        n_ways=opt.n_ways, n_shots=opt.n_shots,
+        n_aug=opt.n_aug_support_samples, n_queries=opt.n_queries,
+        n_base_support=(n_base if opt.n_base_support_samples > 0 else 0),
+        orig_base=n_base, max_sessions=MAX_SESSIONS, feat_dim=feat_dim,
+        img_size=img_size, base_eval_n=base_eval_n)
+
+
+# --------------------------------------------------------------------------
+# the jitted session program
+# --------------------------------------------------------------------------
+def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool):
+    """Build the once-compiled session program."""
+
+    tx = optim_lib.get_optim(opt)
+    memory_on = bool(opt.memory_replay)
+    lmbd_base = opt.lmbd_reg_transform_w
+    lmbd_novel = opt.lmbd_reg_novel
+    label_pull = opt.label_pull if getattr(opt, "pulling", "regularize") == "regularize" else None
+    dist2sub = (opt.attraction_override == "distance2subspace")
+    stable_mode = (opt.target_train_loss == 0)
+
+    def apply_eval(variables, x):
+        return backbone.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"],
+             "counters": variables["counters"]},
+            x, train=False)
+
+    def head_logits(params, feats, n_active):
+        out = feats @ params["w"].T
+        if with_bias:
+            out = out + params["b"]
+        rows = jnp.arange(out.shape[-1])
+        return jnp.where(rows[None, :] < n_active, out, head_lib.NEG_INF)
+
+    def make_loss_fn(support_y, memory_y, memory_mask, w0, b0,
+                     reserved, n_reserved, sem_pullers, n_active,
+                     session_idx):
+        def loss_fn(params, f_sup, f_mem):
+            logits = head_logits(params, f_sup, n_active)
+            loss = losses.cross_entropy(logits, support_y)
+            if memory_on:
+                mlogits = head_logits(params, f_mem, n_active)
+                loss = loss + losses.cross_entropy(mlogits, memory_y,
+                                                   memory_mask)
+            if lmbd_base is not None:
+                loss = loss + losses.regloss(
+                    lmbd_base, params["w"], w0, geo.orig_base,
+                    params.get("b"), b0 if with_bias else None)
+            if lmbd_novel is not None:
+                # only active from session 1 on (language_eval.py:268);
+                # the n_reserved mask makes session 0 contribute exactly 0
+                loss = loss + losses.reglossnovel(
+                    lmbd_novel, params["w"], reserved, geo.orig_base,
+                    n_reserved)
+            if label_pull is not None:
+                cur = jax.lax.dynamic_slice(
+                    params["w"], (n_active - geo.n_ways, 0),
+                    (geo.n_ways, geo.feat_dim))
+                if dist2sub:
+                    # recomputed every epoch from current weights
+                    # (language_eval.py:281-283)
+                    target = lp.projected_weight(w0[: geo.orig_base], cur)
+                else:
+                    target = sem_pullers
+                loss = loss + lp.pull_loss(label_pull, target, cur)
+            acc1, acc5 = losses.accuracy_topk(logits, support_y)
+            return loss, (acc1, acc5)
+        return loss_fn
+
+    def stop_update(loss, prev_loss, stable_epochs, epoch):
+        """Reference stop logic (language_eval.py:298-318)."""
+        stop = jnp.asarray(False)
+        if stable_mode:
+            is_stable = jnp.abs(loss - prev_loss) < opt.convergence_epsilon
+            stable_epochs = jnp.where(is_stable, stable_epochs + 1, 0)
+            stop = stop | (stable_epochs == opt.stable_epochs)
+        stop = stop | (epoch >= opt.max_novel_epochs)
+        stop = stop | ((loss <= opt.target_train_loss)
+                       & (epoch >= opt.min_novel_epochs + 1))
+        return stable_epochs, stop
+
+    @jax.jit
+    def session_fn(variables, head_w, head_b, n_active,
+                   w0, b0, reserved, n_reserved,
+                   support_x, support_y,
+                   memory_x, memory_y, memory_count,
+                   query_x, query_y, n_query_sessions,
+                   base_x, base_y,
+                   sem_pullers, session_idx, rng):
+        k_sup, k_mem = jax.random.split(rng)
+        memory_mask = (jnp.arange(geo.max_memory) < memory_count
+                       ).astype(jnp.float32)
+
+        # ---- epoch 1: train-mode forwards (BN batch stats + running-stat
+        # update + dropout), reference order: support then memory
+        # (language_eval.py:252-258) ----
+        f_sup_tr, mut = backbone.apply(
+            variables, support_x, train=True,
+            mutable=["batch_stats", "counters"], rngs={"dropout": k_sup})
+        vars1 = {"params": variables["params"], **mut}
+
+        if memory_on:
+            def fwd_mem(v):
+                f, mut2 = backbone.apply(
+                    v, memory_x, train=True, sample_mask=memory_mask,
+                    mutable=["batch_stats", "counters"],
+                    rngs={"dropout": k_mem})
+                return f, {"params": v["params"], **mut2}
+
+            def skip_mem(v):
+                return jnp.zeros((geo.max_memory, geo.feat_dim)), v
+
+            f_mem_tr, vars2 = jax.lax.cond(
+                memory_count > 0, fwd_mem, skip_mem, vars1)
+        else:
+            f_mem_tr = jnp.zeros((geo.max_memory, geo.feat_dim))
+            vars2 = vars1
+
+        loss_fn = make_loss_fn(support_y, memory_y, memory_mask, w0, b0,
+                               reserved, n_reserved, sem_pullers, n_active,
+                               session_idx)
+
+        params = {"w": head_w}
+        if with_bias:
+            params["b"] = head_b
+        opt_state = tx.init(params)
+
+        (l1, (a1, a5)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, f_sup_tr, f_mem_tr)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        stable_epochs, stop = stop_update(
+            l1, jnp.asarray(15.0), jnp.asarray(0, jnp.int32),
+            jnp.asarray(1, jnp.int32))
+
+        # ---- cache eval-mode features (constant for epochs 2..N) ----
+        f_sup = apply_eval(vars2, support_x)
+        f_mem = apply_eval(vars2, memory_x) if memory_on else f_mem_tr
+        f_query = apply_eval(vars2, query_x)
+        f_base = apply_eval(vars2, base_x)
+
+        # ---- epochs 2..N: pure head fine-tuning on cached features ----
+        def cond(c):
+            return ~c[5]
+
+        def body(c):
+            p, s, prev_loss, st_ep, epoch, _ , _, _= c
+            epoch = epoch + 1
+            (l, (acc1, acc5)), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, f_sup, f_mem)
+            upd, s = tx.update(g, s, p)
+            p = optax.apply_updates(p, upd)
+            st_ep, stp = stop_update(l, prev_loss, st_ep, epoch)
+            return (p, s, l, st_ep, epoch, stp, acc1, acc5)
+
+        carry = (params, opt_state, l1, stable_epochs,
+                 jnp.asarray(1, jnp.int32), stop, a1, a5)
+        params, opt_state, train_loss, stable_epochs, epoch, _, acc1, acc5 = \
+            jax.lax.while_loop(cond, body, carry)
+
+        # ---- final evaluation ----
+        logits_q = head_logits(params, f_query, n_active)
+        nq = geo.n_query_per_session
+        chunk_accs = []
+        for c in range(geo.max_sessions):
+            lo = c * nq
+            ca1, _ = losses.accuracy_topk(
+                logits_q[lo:lo + nq], query_y[lo:lo + nq])
+            chunk_accs.append(ca1)
+        chunk_accs = jnp.stack(chunk_accs)
+        chunk_valid = (jnp.arange(geo.max_sessions) < n_query_sessions)
+        q_preds = jnp.argmax(logits_q, axis=1)
+
+        logits_b = head_logits(params, f_base, n_active)
+        base_acc, _ = losses.accuracy_topk(logits_b, base_y)
+        b_preds = jnp.argmax(logits_b, axis=1)
+
+        new_head_w = params["w"]
+        new_head_b = params["b"] if with_bias else head_b
+        metrics = {
+            "chunk_accs": chunk_accs, "chunk_valid": chunk_valid,
+            "base_acc": base_acc, "train_loss": train_loss,
+            "epochs": epoch, "support_acc1": acc1, "support_acc5": acc5,
+            "query_preds": q_preds, "base_preds": b_preds,
+        }
+        return (new_head_w, new_head_b, vars2["batch_stats"],
+                vars2["counters"], metrics)
+
+    return session_fn
+
+
+def eval_base_fn(backbone):
+    """Standalone base-batch evaluation (reference eval_base,
+    language_eval.py:46-69) for the initial pre-session measurement."""
+
+    @jax.jit
+    def f(variables, head_w, head_b, n_active, base_x, base_y):
+        feats = backbone.apply(variables, base_x, train=False)
+        out = feats @ head_w.T
+        if head_b is not None:
+            out = out + head_b
+        rows = jnp.arange(out.shape[-1])
+        out = jnp.where(rows[None, :] < n_active, out, head_lib.NEG_INF)
+        acc1, _ = losses.accuracy_topk(out, base_y)
+        return acc1
+
+    return f
+
+
+# --------------------------------------------------------------------------
+# host orchestration
+# --------------------------------------------------------------------------
+@dataclass
+class IncrementalResult:
+    acc_novel_avg: float
+    acc_base_avg: float
+    weighted_avg_l: List[float]
+    acc_novel_list: List[float]
+    acc_base_list: List[float]
+    novel_session_traces: List[List[float]]
+    epochs_per_session: List[int]
+    session_seconds: List[float] = field(default_factory=list)
+
+    @property
+    def acc_average(self) -> float:
+        return (self.acc_novel_avg + self.acc_base_avg) / 2
+
+
+class _Meter:
+    """AverageMeter (reference eval/util.py:9-24)."""
+
+    def __init__(self):
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, v, n=1):
+        self.sum += v * n
+        self.count += n
+
+    @property
+    def avg(self):
+        return self.sum / max(self.count, 1)
+
+
+def few_shot_finetune_incremental_test(
+        backbone, variables, head0, meta, opt,
+        meta_sampler: EpisodeSampler,
+        base_test_split, base_support_sampler=None,
+        base_split_for_vocab=None, verbose: bool = True) -> IncrementalResult:
+    """Run the multi-session protocol. Mirrors language_eval.py:71-454."""
+
+    prt = print if verbose else (lambda *a, **k: None)
+    np.random.seed(opt.set_seed)
+
+    train_spec, test_spec = transforms_test_options[opt.transform]
+    img_size = base_test_split.imgs.shape[1]
+    base_eval_n = opt.test_base_batch_size // 2
+    geo = build_geometry(opt, n_base=int(head0.n_active),
+                         img_size=img_size, base_eval_n=base_eval_n,
+                         feat_dim=int(head0.in_dim))
+    with_bias = head0.bias is not None
+    if with_bias and opt.lmbd_reg_novel is not None:
+        raise NotImplementedError(
+            "reference reglossnovel bias branch crashes "
+            "(models/resnet_language.py:239)")
+
+    # fixed base evaluation batch: first test_base_batch_size//2 samples of
+    # the base-test split, deterministic transform (eval_incremental.py:53-57,
+    # language_eval.py:110,121)
+    min_lbl = min(base_test_split.labels)
+    base_x_u8 = base_test_split.imgs[:base_eval_n]
+    base_y = np.asarray(
+        [l - min_lbl for l in base_test_split.labels[:base_eval_n]], np.int32)
+    base_x = aug_ops.normalize_batch(jnp.asarray(base_x_u8), test_spec)
+    base_y = jnp.asarray(base_y)
+
+    # fixed base-class exemplars kept in memory every session
+    # (language_eval.py:112-117)
+    base_sup_x = base_sup_y = None
+    if base_support_sampler is not None:
+        ep = base_support_sampler.get(0)
+        key = jax.random.PRNGKey(opt.set_seed * 7919 + 17)
+        base_sup_x = aug_ops.augment_batch(key, jnp.asarray(ep.support_x),
+                                           train_spec)
+        base_sup_y = ep.support_y.astype(np.int32)
+
+    session_fn = make_session_fn(backbone, opt, geo, with_bias)
+    base_eval = eval_base_fn(backbone)
+
+    # state threaded across sessions
+    head_w = np.asarray(head0.weight, np.float32).copy()
+    assert head_w.shape[0] == geo.max_classes, (
+        f"head must be padded to {geo.max_classes} rows "
+        f"(import with max_classes=...), got {head_w.shape[0]}")
+    head_b = (np.asarray(head0.bias, np.float32).copy()
+              if with_bias else np.zeros((geo.max_classes,), np.float32))
+    n_active = int(head0.n_active)
+    w0 = head_w.copy()
+    b0 = head_b.copy()
+    batch_stats = variables["batch_stats"]
+    counters = variables["counters"]
+    params_bb = variables["params"]
+
+    reserved = np.zeros((geo.max_novel, geo.feat_dim), np.float32)
+    n_reserved = 0
+    memory = ReplayMemory(geo.max_memory, (img_size, img_size, 3))
+    query_buf = np.zeros((geo.max_queries, img_size, img_size, 3), np.float32)
+    query_y_buf = np.zeros((geo.max_queries,), np.int32)
+
+    acc_novel, acc_base = _Meter(), _Meter()
+    weighted_avg_l: List[float] = []
+    acc_novel_list: List[float] = []
+    acc_base_list: List[float] = []
+    traces: List[List[float]] = []
+    epochs_l: List[int] = []
+    secs: List[float] = []
+
+    # initial base accuracy (language_eval.py:128-129)
+    init_base = float(base_eval(
+        {"params": params_bb, "batch_stats": batch_stats,
+         "counters": counters},
+        jnp.asarray(head_w), jnp.asarray(head_b) if with_bias else None,
+        n_active, base_x, base_y))
+    weighted_avg_l.append(init_base)
+
+    iter_num = MAX_SESSIONS if opt.continual else opt.neval_episodes
+    lang_state = None
+    vocab_base = vocab_novel = None
+
+    for idx in range(iter_num):
+        prt(f"\n**** Iteration {idx + 1}/{iter_num} ****\n")
+        t0 = time.time()
+        ep = meta_sampler.get(idx)
+
+        # vocab bookkeeping (language_eval.py:155-167)
+        if idx > 0:
+            prev_vocab_base, prev_vocab_novel = vocab_base, vocab_novel
+        vb, vocab_all, vocab_novel, orig2id = get_vocabs(
+            base_split_for_vocab or base_test_split,
+            meta_sampler.base, ep.query_y)
+        vocab_base = vb
+        if idx > 0:
+            vocab_base = prev_vocab_base + prev_vocab_novel
+
+        # reserve previous session's novel rows (language_eval.py:169-186)
+        if idx >= 1:
+            lo = geo.orig_base + geo.n_ways * (idx - 1)
+            reserved[geo.n_ways * (idx - 1): geo.n_ways * idx] = \
+                head_w[lo: lo + geo.n_ways]
+            n_reserved = geo.n_ways * idx
+
+        novel_labels = np.sort(np.unique(ep.query_y))
+        for k in list(orig2id.keys()):
+            orig2id[k] = orig2id[k] + idx * opt.n_ways
+        query_ys_id = np.asarray([orig2id[int(y)] for y in ep.query_y],
+                                 np.int32)
+        support_ys_id = np.asarray([orig2id[int(y)] for y in ep.support_y],
+                                   np.int32)
+
+        # device-side augmentation of this session's support
+        k_aug = jax.random.PRNGKey(opt.set_seed * 100003 + idx)
+        support_x = np.asarray(aug_ops.augment_batch(
+            k_aug, jnp.asarray(ep.support_x), train_spec))
+        query_x = np.asarray(aug_ops.normalize_batch(
+            jnp.asarray(ep.query_x), test_spec))
+
+        # grow the query collection (language_eval.py:198-204)
+        nq = geo.n_query_per_session
+        query_buf[idx * nq:(idx + 1) * nq] = query_x
+        query_y_buf[idx * nq:(idx + 1) * nq] = query_ys_id
+
+        if base_sup_x is not None:
+            support_x = np.concatenate([support_x, np.asarray(base_sup_x)], 0)
+            support_ys_id = np.concatenate([support_ys_id, base_sup_y])
+
+        # classifier growth (language_eval.py:214)
+        grow_key = jax.random.PRNGKey(opt.set_seed * 61 + 1000 + idx)
+        new_head = head_lib.augment(
+            head_lib.Head(weight=jnp.asarray(head_w),
+                          bias=jnp.asarray(head_b) if with_bias else None,
+                          n_active=jnp.asarray(n_active, jnp.int32)),
+            grow_key, len(novel_labels))
+        head_w = np.asarray(new_head.weight)
+        if with_bias:
+            head_b = np.asarray(new_head.bias)
+        n_active = int(new_head.n_active)
+
+        # semantic / mapping attractors (language_eval.py:216-228)
+        sem_pullers = np.zeros((geo.n_ways, geo.feat_dim), np.float32)
+        if opt.label_pull is not None and getattr(opt, "pulling", "regularize") == "regularize":
+            if idx == 0:
+                lang_state = lp.create_lang_puller(opt, vocab_base, vocab_novel)
+            else:
+                lang_state = lp.update_novel_embeds(lang_state, opt, vocab_novel)
+            if opt.attraction_override == "mapping_linear_label2image":
+                m = meta["mapping_linear_label2image"]
+                lang_state = lp.with_mapping(lang_state, m["weight"], m["bias"])
+            if opt.attraction_override != "distance2subspace":
+                sem_pullers = np.asarray(lp.pullers(
+                    lang_state, jnp.asarray(w0[: geo.orig_base])))
+
+        # ---- the compiled session ----
+        run_vars = {"params": params_bb, "batch_stats": batch_stats,
+                    "counters": counters}
+        out = session_fn(
+            run_vars, jnp.asarray(head_w),
+            jnp.asarray(head_b), jnp.asarray(n_active, jnp.int32),
+            jnp.asarray(w0), jnp.asarray(b0),
+            jnp.asarray(reserved), jnp.asarray(n_reserved, jnp.int32),
+            jnp.asarray(support_x), jnp.asarray(support_ys_id),
+            jnp.asarray(memory.data), jnp.asarray(memory.labels),
+            jnp.asarray(memory.count, jnp.int32),
+            jnp.asarray(query_buf), jnp.asarray(query_y_buf),
+            jnp.asarray(idx + 1, jnp.int32),
+            base_x, base_y,
+            jnp.asarray(sem_pullers), jnp.asarray(idx, jnp.int32),
+            jax.random.PRNGKey(opt.set_seed * 31 + idx))
+        new_w, new_b, batch_stats, counters, metrics = out
+        head_w = np.asarray(new_w)
+        if with_bias:
+            head_b = np.asarray(new_b)
+
+        # ---- replay-memory update (language_eval.py:352-359) ----
+        if opt.memory_replay:
+            inds = np.random.choice(opt.n_shots, opt.memory_replay)
+            margin = 5 * np.arange(5)
+            offset = np.arange(0, 125, 25)
+            inds = np.tile(margin + inds, (5, 1)) + (np.tile(offset, (5, 1))).T
+            inds = inds.flatten()
+            memory.additems(support_x[inds], support_ys_id[inds])
+
+        # ---- metrics (language_eval.py:370-395) ----
+        chunk_accs = np.asarray(metrics["chunk_accs"])
+        chunk_valid = np.asarray(metrics["chunk_valid"])
+        # the reference reports the mean of per-session accs ROUNDED to two
+        # decimals (language_eval.py:370-374) — replicate, even at session 0
+        session_trace = [round(float(a), 2)
+                         for a in chunk_accs[chunk_valid]]
+        prt("Novel session accuracies: ", session_trace)
+        test_acc = float(np.array(session_trace).mean())
+        acc_base_ = float(metrics["base_acc"])
+        epochs_run = int(metrics["epochs"])
+
+        acc_base.update(acc_base_)
+        acc_novel.update(test_acc)
+        w1 = 60 if opt.dataset == "miniImageNet" else 200
+        w2 = len(vocab_base) + len(vocab_novel) - 60
+        weighted_avg = (w1 * acc_base_ + w2 * test_acc) / (w1 + w2)
+        weighted_avg_l.append(round(weighted_avg, 2))
+        acc_novel_list.append(round(test_acc, 2))
+        acc_base_list.append(round(acc_base_, 2))
+        traces.append(session_trace)
+        epochs_l.append(epochs_run)
+        secs.append(time.time() - t0)
+
+        prt(f"***Running weighted avg: {weighted_avg}")
+        prt(f"{'Classes:':25} {novel_labels}\n"
+            f"{'Labels:':25} {vocab_novel}\n"
+            f"{'Fine-tuning epochs:':25} {epochs_run}\n"
+            f"{'Novel acc:':25} {test_acc:.4f}\n"
+            f"{'Base acc:':25} {acc_base_:.4f}\n"
+            f"{'Average:':25} {(test_acc + acc_base_) / 2:.4f}\n"
+            f"{'Runnning Base Avg:':25} {acc_base.avg:.4f}\n"
+            f"{'Running Novel Avg:':25} {acc_novel.avg:.4f}\n"
+            f"{'Running Average:':25} {(acc_base.avg + acc_novel.avg) / 2:.4f}\n",
+            flush=True)
+
+    prt("Overall continual accuracies: ", weighted_avg_l)
+    prt("Novel only incremental: ", acc_novel_list)
+    prt("Base only incremental: ", acc_base_list)
+    return IncrementalResult(
+        acc_novel_avg=acc_novel.avg, acc_base_avg=acc_base.avg,
+        weighted_avg_l=weighted_avg_l, acc_novel_list=acc_novel_list,
+        acc_base_list=acc_base_list, novel_session_traces=traces,
+        epochs_per_session=epochs_l, session_seconds=secs)

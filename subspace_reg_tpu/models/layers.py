@@ -59,7 +59,8 @@ class TorchBatchNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool,
+                 sample_mask: Optional[jax.Array] = None) -> jax.Array:
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         ra_mean = self.variable(
@@ -69,16 +70,26 @@ class TorchBatchNorm(nn.Module):
 
         if train:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axes)
-            # biased variance for normalization (torch train-mode behavior)
-            var = jnp.mean(jnp.square(x), axes) - jnp.square(mean)
+            if sample_mask is None:
+                mean = jnp.mean(x, axes)
+                # biased variance for normalization (torch train mode)
+                var = jnp.mean(jnp.square(x), axes) - jnp.square(mean)
+                n = jnp.asarray(x.size // self.features, jnp.float32)
+            else:
+                # masked stats: padded batch rows (e.g. the replay-memory
+                # buffer) must not pollute statistics — torch sees only the
+                # valid, exactly-sized batch
+                m = sample_mask.reshape((-1,) + (1,) * (x.ndim - 1))
+                per_sample = x.size // (self.features * x.shape[0])
+                n = jnp.sum(sample_mask) * per_sample
+                mean = jnp.sum(x * m, axes) / n
+                var = jnp.sum(jnp.square(x) * m, axes) / n - jnp.square(mean)
             var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
-                n = x.size // self.features
-                unbiased = var * (n / max(n - 1, 1))
-                m = self.momentum
-                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
-                ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                mom = self.momentum
+                ra_mean.value = (1.0 - mom) * ra_mean.value + mom * mean
+                ra_var.value = (1.0 - mom) * ra_var.value + mom * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
 

@@ -62,7 +62,8 @@ class BasicBlock(nn.Module):
     use_se: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool,
+                 sample_mask=None) -> jax.Array:
         # per-forward counter for the ramped DropBlock schedule
         nbt = self.variable("counters", "num_batches_tracked",
                             lambda: jnp.zeros((), jnp.int32))
@@ -71,21 +72,22 @@ class BasicBlock(nn.Module):
 
         residual = x
         out = conv3x3(self.planes, name="conv1")(x)
-        out = TorchBatchNorm(self.planes, name="bn1")(out, train)
+        out = TorchBatchNorm(self.planes, name="bn1")(out, train, sample_mask)
         out = nn.leaky_relu(out, 0.1)
 
         out = conv3x3(self.planes, name="conv2")(out)
-        out = TorchBatchNorm(self.planes, name="bn2")(out, train)
+        out = TorchBatchNorm(self.planes, name="bn2")(out, train, sample_mask)
         out = nn.leaky_relu(out, 0.1)
 
         out = conv3x3(self.planes, name="conv3")(out)
-        out = TorchBatchNorm(self.planes, name="bn3")(out, train)
+        out = TorchBatchNorm(self.planes, name="bn3")(out, train, sample_mask)
         if self.use_se:
             out = SELayer(self.planes, reduction=4, name="se")(out)
 
         if self.has_downsample:
             residual = conv1x1(self.planes, name="ds_conv")(x)
-            residual = TorchBatchNorm(self.planes, name="ds_bn")(residual, train)
+            residual = TorchBatchNorm(self.planes, name="ds_bn")(
+                residual, train, sample_mask)
         out = out + residual
         out = nn.leaky_relu(out, 0.1)
         out = max_pool_torch(out, self.stride)
@@ -143,11 +145,16 @@ class ResNetRFS(nn.Module):
     use_se: bool = False
     avg_pool: bool = True
     keep_prob: float = 1.0
+    widths: Sequence[int] = WIDTHS   # narrow override for cheap test models
+
+    @property
+    def feature_dim(self) -> int:
+        return self.widths[-1]
 
     def setup(self):
         block_size = 1 if self.no_dropblock else self.dropblock_size
         stages = []
-        for li, (nb, planes) in enumerate(zip(self.n_blocks, WIDTHS)):
+        for li, (nb, planes) in enumerate(zip(self.n_blocks, self.widths)):
             # layers 3/4 pass drop_block=True in the reference ctor
             # (models/resnet_language.py:119-122); layers 1/2 default False.
             stage_drop_block = li >= 2
@@ -163,11 +170,11 @@ class ResNetRFS(nn.Module):
         self.stages = tuple(stages)
 
     def __call__(self, x: jax.Array, train: bool = False,
-                 is_feat: bool = False):
+                 is_feat: bool = False, sample_mask=None):
         feats = []
         for blocks in self.stages:
             for block in blocks:
-                x = block(x, train)
+                x = block(x, train, sample_mask)
             feats.append(x)
         if self.avg_pool:
             x = jnp.mean(x, axis=(1, 2))

@@ -66,11 +66,15 @@ def _augment_one(img_u8: jax.Array, key: jax.Array, spec: AugmentSpec) -> jax.Ar
     kcrop, kflip, kjit = jax.random.split(key, 3)
 
     if spec.random_crop and spec.padding > 0:
+        # RandomCrop(size, padding): the reference always crops back to the
+        # input size (84/32); cropping to the image's own H/W generalizes
+        # that to other resolutions (miniature test data)
+        h, w = img_u8.shape[0], img_u8.shape[1]
         pad = spec.padding
         x = jnp.pad(x, ((pad, pad), (pad, pad), (0, 0)))
         off = jax.random.randint(kcrop, (2,), 0, 2 * pad + 1)
         x = jax.lax.dynamic_slice(
-            x, (off[0], off[1], 0), (spec.size, spec.size, x.shape[-1]))
+            x, (off[0], off[1], 0), (h, w, x.shape[-1]))
 
     if spec.color_jitter > 0:
         x = _jitter_one(x, kjit, spec.color_jitter)

@@ -1,0 +1,142 @@
+"""End-to-end multi-session FSCIL engine runs on synthetic data.
+
+Exercises the full golden path of scripts/continual/*.sh (fine-tune+M,
+subspace-reg+M, semantic-subspace-reg+M) at miniature scale.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from subspace_reg_tpu.data import synthetic
+from subspace_reg_tpu.data.episodes import EpisodeSampler
+from subspace_reg_tpu.data.mini_imagenet import load_mini_imagenet
+from subspace_reg_tpu.engine.incremental import few_shot_finetune_incremental_test
+from subspace_reg_tpu.models import head as head_lib
+from subspace_reg_tpu.models.resnet import ResNetRFS
+
+
+class Opt:
+    model = "resnet12"
+    dataset = "miniImageNet"
+    transform = "A"
+    continual = True
+    set_seed = 3
+    n_ways = 5
+    n_shots = 5
+    n_queries = 4
+    n_test_runs = 10
+    eval_mode = "few-shot-incremental-fine-tune"
+    n_aug_support_samples = 5
+    n_base_aug_support_samples = 0
+    n_base_support_samples = 1
+    test_base_batch_size = 200
+    neval_episodes = 8
+    memory_replay = 1
+    lmbd_reg_transform_w = 0.2
+    lmbd_reg_novel = 0.1
+    label_pull = None
+    pulling = "regularize"
+    attraction_override = None
+    target_train_loss = 0.0
+    stable_epochs = 3
+    convergence_epsilon = 1e-3
+    min_novel_epochs = 5
+    max_novel_epochs = 30
+    learning_rate = 0.002
+    weight_decay = 5e-3
+    momentum = 0.9
+    adam = False
+    freeze_backbone_at = 1
+    no_dropblock = True
+    glove = False
+    use_synonyms = False
+    temperature = 1.0
+    word_embed_size = 500
+    word_embed_path = None  # set by fixture
+    use_episodes = False
+    verbose = False
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mini"))
+    synthetic.make_mini_imagenet(root, n_classes=100, per_class=20,
+                                 img_size=16, seed=0)
+    embeds = str(tmp_path_factory.mktemp("embeds"))
+    synthetic.make_word_embeds(embeds, n_classes=100)
+
+    opt = Opt()
+    opt.data_root = root
+    opt.word_embed_path = embeds
+
+    base_test = load_mini_imagenet(opt, split="train", phase="test",
+                                   train_per_class=10, val_per_class=2)
+    base_train = load_mini_imagenet(opt, split="train", phase="train",
+                                    train_per_class=10, val_per_class=2)
+    novel = load_mini_imagenet(opt, split="val")
+
+    backbone = ResNetRFS(n_blocks=(1, 1, 1, 1), drop_rate=0.1,
+                         no_dropblock=True, avg_pool=True,
+                         widths=(8, 16, 24, 32))
+    variables = dict(backbone.init(
+        jax.random.PRNGKey(1), jnp.zeros((2, 16, 16, 3)), train=False))
+    head0 = head_lib.init_head(jax.random.PRNGKey(2), 60, in_dim=32,
+                               with_bias=False, max_classes=100)
+    return dict(opt=opt, base_test=base_test, base_train=base_train,
+                novel=novel, backbone=backbone, variables=variables,
+                head0=head0)
+
+
+def _run(env, **overrides):
+    opt = env["opt"]
+    for k, v in overrides.items():
+        setattr(opt, k, v)
+    meta_sampler = EpisodeSampler(env["novel"], opt, split="val",
+                                  disjoint_classes=True)
+    base_support = EpisodeSampler(env["base_train"], opt,
+                                  split="train", phase="train")
+    return few_shot_finetune_incremental_test(
+        env["backbone"], env["variables"], env["head0"], {}, opt,
+        meta_sampler=meta_sampler, base_test_split=env["base_test"],
+        base_support_sampler=base_support, verbose=False)
+
+
+def test_finetune_with_memory(env):
+    res = _run(env, label_pull=None, attraction_override=None)
+    assert len(res.weighted_avg_l) == 9          # initial + 8 sessions
+    assert len(res.acc_novel_list) == 8
+    assert len(res.acc_base_list) == 8
+    # traces grow: session idx validates idx+1 chunks
+    for i, tr in enumerate(res.novel_session_traces):
+        assert len(tr) == i + 1
+    # epochs respect stop logic bounds
+    for e in res.epochs_per_session:
+        assert 1 <= e <= env["opt"].max_novel_epochs
+    assert np.isfinite(res.acc_novel_avg) and np.isfinite(res.acc_base_avg)
+    assert 0.0 <= res.acc_novel_avg <= 100.0
+
+
+def test_subspace_reg(env):
+    res = _run(env, label_pull=1.0, attraction_override="distance2subspace")
+    assert len(res.acc_novel_list) == 8
+    assert np.isfinite(res.acc_novel_avg)
+
+
+def test_semantic_subspace_reg(env):
+    res = _run(env, label_pull=0.2, attraction_override=None,
+               temperature=3.0)
+    assert len(res.acc_novel_list) == 8
+    assert np.isfinite(res.acc_novel_avg)
+
+
+def test_base_regularizer_anchors_base_rows(env):
+    """With a huge base-weight anchor the base accuracy must stay at its
+    initial level; novel rows still learn."""
+    res_big = _run(env, label_pull=None, lmbd_reg_transform_w=50.0,
+                   max_novel_epochs=10)
+    # base rows barely move => base acc approx initial base acc
+    init_base = res_big.weighted_avg_l[0]
+    assert abs(res_big.acc_base_list[0] - init_base) < 10.0
