@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: pretraining images/sec/chip for the flagship
+resnet18-RFS backbone (fwd+bwd+SGD+fused augmentation) at 84x84, the
+reference's training geometry (train_supervised.py:216-244 hot loop,
+batch 64 -> we use a TPU-sized batch).
+
+Prints ONE JSON line:
+  {"metric": "images/sec/chip", "value": N, "unit": "images/sec/chip",
+   "vs_baseline": N}
+
+``vs_baseline`` is measured throughput divided by the north-star target of
+BASELINE.md: 90% of the single-chip bf16 roofline, with the step FLOP count
+taken from XLA's own cost analysis (no hand-waved constants).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+# public peak dense-bf16 TFLOP/s per chip by generation
+_PEAK_BF16 = {
+    "v4": 275e12 / 2,     # v4: 275 int8 => 137.5 bf16... use 122 public
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6e": 918e12,
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from subspace_reg_tpu.data.transforms import transforms_options
+    from subspace_reg_tpu.engine import pretrain as pt
+    from subspace_reg_tpu.models.resnet import ResNetRFS
+    from subspace_reg_tpu.utils import optim as optim_lib
+
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    n_cls, img = 60, 84
+
+    backbone = ResNetRFS(n_blocks=(1, 1, 2, 2), drop_rate=0.1,
+                         no_dropblock=True, avg_pool=True,
+                         dtype=jnp.bfloat16)
+    tx = optim_lib.sgd_torch(0.05, momentum=0.9, weight_decay=5e-4)
+    state = pt.init_pretrain_state(backbone, jax.random.PRNGKey(0),
+                                   n_cls, img, tx, with_bias=False)
+    train_spec, _ = transforms_options["A"]
+    step = pt.make_train_step(backbone, tx, train_spec, with_bias=False)
+
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randint(0, 256, size=(batch, img, img, 3)), jnp.uint8)
+    y = jnp.asarray(r.randint(0, n_cls, size=(batch,)), jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    # FLOPs/step from XLA cost analysis (for the roofline denominator)
+    flops_per_step = None
+    try:
+        lowered = jax.jit(lambda s, xx, yy, kk: step(s, xx, yy, kk)).lower(
+            state, x, y, key)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    # warmup (compile) + timed steps
+    for _ in range(3):
+        state, m = step(state, x, y, key)
+    jax.block_until_ready(m["loss"])
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step(state, x, y, key)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    ips = batch * n_steps / dt
+
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    peak = _PEAK_BF16.get(gen, 197e12)
+    if flops_per_step:
+        roofline_ips = peak / (flops_per_step / batch)
+        target = 0.9 * roofline_ips
+        vs_baseline = ips / target
+    else:
+        vs_baseline = 0.0
+
+    print(json.dumps({
+        "metric": "images/sec/chip",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+    return ips
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Supervised pretraining engine (reference train_supervised.py:38-268),
+TPU-native:
+
+  * the whole hot path — device-fused augmentation, bf16 conv forward,
+    backward, PyTorch-exact SGD update, metrics — is ONE jitted step with
+    donated state,
+  * data parallelism is a ``('data','model')`` mesh: the batch is sharded,
+    XLA inserts the gradient psum and computes cross-replica (global-batch)
+    BN statistics — replacing ``nn.DataParallel`` (train_supervised.py:141),
+  * LR schedules reproduce the reference step-decay / cosine quirks
+    (utils/optim.py).
+
+Checkpoints carry the reference metadata contract: ``training_classes``
+(= basec_map) and ``label2human`` (train_supervised.py:186-201).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..data.transforms import AugmentSpec
+from ..models import head as head_lib
+from ..ops import augment as aug_ops
+from ..ops import losses
+from ..parallel import mesh as mesh_lib
+from ..utils import optim as optim_lib
+
+
+@struct.dataclass
+class PretrainState:
+    params: Any               # {'backbone': ..., 'head': {'w', optional 'b'}}
+    batch_stats: Any
+    counters: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def init_pretrain_state(backbone, rng, n_cls: int, img_size: int,
+                        tx, with_bias: bool,
+                        variables: Optional[Dict[str, Any]] = None
+                        ) -> PretrainState:
+    k1, k2 = jax.random.split(rng)
+    if variables is None:
+        variables = backbone.init(
+            k1, jnp.zeros((2, img_size, img_size, 3)), train=False)
+    d = backbone.feature_dim
+    w, b = head_lib._torch_linear_init(k2, n_cls, d, with_bias)
+    head = {"w": w}
+    if with_bias:
+        head["b"] = b
+    params = {"backbone": variables["params"], "head": head}
+    return PretrainState(
+        params=params, batch_stats=variables["batch_stats"],
+        counters=variables["counters"], opt_state=tx.init(params),
+        step=jnp.asarray(0, jnp.int32))
+
+
+def make_train_step(backbone, tx, spec: AugmentSpec,
+                    with_bias: bool, label_pull=None,
+                    pull_embeds: Optional[jax.Array] = None,
+                    temperature: float = 1.0,
+                    mesh=None):
+    """One fused pretraining step: augment -> fwd(train) -> CE(+pull)
+    -> bwd -> torch-SGD.  (Reference hot loop train_supervised.py:216-244.)"""
+
+    def loss_fn(params, batch_stats, counters, x, y, rng):
+        out, mut = backbone.apply(
+            {"params": params["backbone"], "batch_stats": batch_stats,
+             "counters": counters},
+            x, train=True, mutable=["batch_stats", "counters"],
+            rngs={"dropout": rng})
+        w = params["head"]["w"]
+        if mesh is not None:
+            w = jax.lax.with_sharding_constraint(
+                w, mesh_lib.head_sharding(mesh))
+        logits = out @ w.T
+        if with_bias:
+            logits = logits + params["head"]["b"]
+        loss = losses.cross_entropy(logits, y)
+        if label_pull is not None:
+            # pretraining pull penalty (train_supervised.py:231-235):
+            # attractors computed from the classifier itself
+            scores = pull_embeds @ pull_embeds.T
+            probs = jax.nn.softmax(scores / temperature, axis=1)
+            inspired = probs @ params["head"]["w"]
+            loss = loss + label_pull * jnp.sum(
+                jnp.square(inspired - params["head"]["w"]))
+        acc1, acc5 = losses.accuracy_topk(logits, y)
+        return loss, (mut, acc1, acc5)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: PretrainState, x_u8, y, rng):
+        k_aug, k_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        x = aug_ops.augment_batch(k_aug, x_u8, spec)
+        (loss, (mut, acc1, acc5)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   state.counters, x, y, k_drop)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params,
+            batch_stats=mut["batch_stats"], counters=mut["counters"],
+            opt_state=opt_state, step=state.step + 1)
+        metrics = {"loss": loss, "acc1": acc1, "acc5": acc5}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(backbone, spec: AugmentSpec, with_bias: bool,
+                   truncate_classes: Optional[int] = None):
+    """Validation step (reference eval/util.py:185-232).  ``truncate_classes``
+    reproduces the tiered augment_pretrain_wtrainb slice (:206-208)."""
+
+    @jax.jit
+    def eval_step(state: PretrainState, x_u8, y):
+        x = aug_ops.normalize_batch(x_u8, spec)
+        feats = backbone.apply(
+            {"params": state.params["backbone"],
+             "batch_stats": state.batch_stats, "counters": state.counters},
+            x, train=False)
+        logits = feats @ state.params["head"]["w"].T
+        if with_bias:
+            logits = logits + state.params["head"]["b"]
+        if truncate_classes is not None:
+            logits = logits[:, :truncate_classes]
+        loss = losses.cross_entropy(logits, y)
+        acc1, acc5 = losses.accuracy_topk(logits, y)
+        return {"loss": loss, "acc1": acc1, "acc5": acc5,
+                "n": jnp.asarray(y.shape[0], jnp.float32)}
+
+    return eval_step
+
+
+def epoch_batches(rng: np.random.RandomState, n: int, batch_size: int,
+                  drop_last: bool = True) -> Iterator[np.ndarray]:
+    """Shuffled epoch batching (DataLoader shuffle=True, drop_last=True,
+    train_supervised.py:50-51)."""
+    order = rng.permutation(n)
+    end = (n // batch_size) * batch_size if drop_last else n
+    for i in range(0, end, batch_size):
+        yield order[i:i + batch_size]
+
+
+def run_validation(eval_step, state, imgs: np.ndarray, labels: np.ndarray,
+                   batch_size: int, mesh=None) -> Dict[str, float]:
+    tot = {"loss": 0.0, "acc1": 0.0, "acc5": 0.0, "n": 0.0}
+    for i in range(0, len(labels), batch_size):
+        x = jnp.asarray(imgs[i:i + batch_size])
+        y = jnp.asarray(labels[i:i + batch_size], jnp.int32)
+        m = eval_step(state, x, y)
+        n = float(m["n"])
+        tot["loss"] += float(m["loss"]) * n
+        tot["acc1"] += float(m["acc1"]) * n
+        tot["acc5"] += float(m["acc5"]) * n
+        tot["n"] += n
+    n = max(tot["n"], 1.0)
+    return {"loss": tot["loss"] / n, "acc1": tot["acc1"] / n,
+            "acc5": tot["acc5"] / n}

@@ -12,7 +12,7 @@ from .resnet import ResNetRFS, FEATURE_DIM
 
 
 def create_model(name: str, n_cls: int, opt, vocab=None,
-                 dataset: str = "miniImageNet") -> ResNetRFS:
+                 dataset: str = "miniImageNet", dtype=None) -> ResNetRFS:
     no_dropblock = bool(getattr(opt, "no_dropblock", False))
     if dataset in ("miniImageNet", "tieredImageNet"):
         if name.startswith("resnet") or name.startswith("seresnet"):
@@ -20,7 +20,7 @@ def create_model(name: str, n_cls: int, opt, vocab=None,
             # (reference models/util.py:16-18)
             return model_dict[name](avg_pool=True, drop_rate=0.1,
                                     dropblock_size=5,
-                                    no_dropblock=no_dropblock)
+                                    no_dropblock=no_dropblock, dtype=dtype)
         raise NotImplementedError(
             "model {} not supported in dataset {}".format(name, dataset))
     if dataset in ("CIFAR-FS", "FC100"):
@@ -28,7 +28,7 @@ def create_model(name: str, n_cls: int, opt, vocab=None,
             # dropblock_size=2 for CIFAR (reference models/util.py:27)
             return model_dict[name](avg_pool=True, drop_rate=0.1,
                                     dropblock_size=2,
-                                    no_dropblock=no_dropblock)
+                                    no_dropblock=no_dropblock, dtype=dtype)
         raise NotImplementedError(
             "model {} not supported in dataset {}".format(name, dataset))
     raise NotImplementedError("dataset not supported: {}".format(dataset))

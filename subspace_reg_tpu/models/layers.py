@@ -34,20 +34,27 @@ def kaiming_normal_fan_out():
     return nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
-def conv3x3(features: int, stride: int = 1, name: Optional[str] = None) -> nn.Conv:
-    """3x3 conv, padding 1, no bias (reference models/resnet_language.py:402-405)."""
+def conv3x3(features: int, stride: int = 1, name: Optional[str] = None,
+            dtype=None) -> nn.Conv:
+    """3x3 conv, padding 1, no bias (reference models/resnet_language.py:402-405).
+
+    ``dtype=jnp.bfloat16`` puts the conv on the MXU's native precision
+    (params stay float32); the default keeps float32 for parity tests.
+    """
     return nn.Conv(
         features, (3, 3), strides=(stride, stride),
         padding=[(1, 1), (1, 1)], use_bias=False,
         kernel_init=kaiming_normal_fan_out(), name=name,
+        dtype=dtype, param_dtype=jnp.float32,
     )
 
 
-def conv1x1(features: int, name: Optional[str] = None) -> nn.Conv:
+def conv1x1(features: int, name: Optional[str] = None, dtype=None) -> nn.Conv:
     """1x1 downsample conv (reference models/resnet_language.py:144-149)."""
     return nn.Conv(
         features, (1, 1), strides=(1, 1), padding="VALID", use_bias=False,
         kernel_init=kaiming_normal_fan_out(), name=name,
+        dtype=dtype, param_dtype=jnp.float32,
     )
 
 
@@ -67,6 +74,9 @@ class TorchBatchNorm(nn.Module):
             "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32))
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32))
+
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # statistics always in f32 (bf16-safe)
 
         if train:
             axes = tuple(range(x.ndim - 1))
@@ -94,7 +104,7 @@ class TorchBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.eps)
-        return (x - mean) * (inv * scale) + bias
+        return ((x - mean) * (inv * scale) + bias).astype(in_dtype)
 
 
 class DropBlock(nn.Module):

@@ -60,6 +60,7 @@ class BasicBlock(nn.Module):
     drop_block: bool = False
     block_size: int = 1
     use_se: bool = False
+    dtype: Any = None        # bf16 compute for the MXU; params stay f32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool,
@@ -71,21 +72,21 @@ class BasicBlock(nn.Module):
             nbt.value = nbt.value + 1
 
         residual = x
-        out = conv3x3(self.planes, name="conv1")(x)
+        out = conv3x3(self.planes, name="conv1", dtype=self.dtype)(x)
         out = TorchBatchNorm(self.planes, name="bn1")(out, train, sample_mask)
         out = nn.leaky_relu(out, 0.1)
 
-        out = conv3x3(self.planes, name="conv2")(out)
+        out = conv3x3(self.planes, name="conv2", dtype=self.dtype)(out)
         out = TorchBatchNorm(self.planes, name="bn2")(out, train, sample_mask)
         out = nn.leaky_relu(out, 0.1)
 
-        out = conv3x3(self.planes, name="conv3")(out)
+        out = conv3x3(self.planes, name="conv3", dtype=self.dtype)(out)
         out = TorchBatchNorm(self.planes, name="bn3")(out, train, sample_mask)
         if self.use_se:
             out = SELayer(self.planes, reduction=4, name="se")(out)
 
         if self.has_downsample:
-            residual = conv1x1(self.planes, name="ds_conv")(x)
+            residual = conv1x1(self.planes, name="ds_conv", dtype=self.dtype)(x)
             residual = TorchBatchNorm(self.planes, name="ds_bn")(
                 residual, train, sample_mask)
         out = out + residual
@@ -146,6 +147,7 @@ class ResNetRFS(nn.Module):
     avg_pool: bool = True
     keep_prob: float = 1.0
     widths: Sequence[int] = WIDTHS   # narrow override for cheap test models
+    dtype: Any = None                # bf16 compute path for pretraining
 
     @property
     def feature_dim(self) -> int:
@@ -163,7 +165,8 @@ class ResNetRFS(nn.Module):
                 drop_block=stage_drop_block, block_size=block_size,
                 use_se=self.use_se)
             blocks = tuple(
-                BasicBlock(**spec, name=f"layer{li + 1}_{bi}")
+                BasicBlock(**spec, dtype=self.dtype,
+                           name=f"layer{li + 1}_{bi}")
                 for bi, spec in enumerate(specs)
             )
             stages.append(blocks)
@@ -171,15 +174,18 @@ class ResNetRFS(nn.Module):
 
     def __call__(self, x: jax.Array, train: bool = False,
                  is_feat: bool = False, sample_mask=None):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         feats = []
         for blocks in self.stages:
             for block in blocks:
                 x = block(x, train, sample_mask)
             feats.append(x)
         if self.avg_pool:
-            x = jnp.mean(x, axis=(1, 2))
+            # pool in f32: 640-d feature fidelity matters downstream
+            x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         else:
-            x = x.reshape(x.shape[0], -1)
+            x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         feat = x
         if is_feat:
             return feats + [feat], feat
@@ -189,11 +195,12 @@ class ResNetRFS(nn.Module):
 def _factory(n_blocks, use_se=False):
     def build(keep_prob: float = 1.0, avg_pool: bool = False,
               drop_rate: float = 0.0, dropblock_size: int = 5,
-              no_dropblock: bool = False, **kwargs) -> ResNetRFS:
+              no_dropblock: bool = False, dtype=None, **kwargs) -> ResNetRFS:
         return ResNetRFS(n_blocks=n_blocks, drop_rate=drop_rate,
                          dropblock_size=dropblock_size,
                          no_dropblock=no_dropblock, use_se=use_se,
-                         avg_pool=avg_pool, keep_prob=keep_prob)
+                         avg_pool=avg_pool, keep_prob=keep_prob,
+                         dtype=dtype)
     return build
 
 

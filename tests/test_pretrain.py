@@ -1,0 +1,104 @@
+"""Pretraining engine: learning progress, mesh execution, checkpointing."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from subspace_reg_tpu.data.transforms import transforms_options
+from subspace_reg_tpu.engine import pretrain as pt
+from subspace_reg_tpu.models.resnet import ResNetRFS
+from subspace_reg_tpu.parallel import mesh as mesh_lib
+from subspace_reg_tpu.utils import optim as optim_lib
+
+
+def _tiny_setup(with_bias=False, dtype=None):
+    backbone = ResNetRFS(n_blocks=(1, 1, 1, 1), drop_rate=0.0,
+                         no_dropblock=True, avg_pool=True,
+                         widths=(8, 16, 24, 32), dtype=dtype)
+    tx = optim_lib.sgd_torch(0.05, momentum=0.9, weight_decay=5e-4)
+    state = pt.init_pretrain_state(backbone, jax.random.PRNGKey(0),
+                                   n_cls=10, img_size=16, tx=tx,
+                                   with_bias=with_bias)
+    return backbone, tx, state
+
+
+def _class_colored_batch(r, n, n_cls=10, img=16):
+    y = r.randint(0, n_cls, size=n)
+    base = (np.linspace(30, 220, n_cls)[y])[:, None, None, None]
+    x = np.clip(base + r.randint(-20, 21, size=(n, img, img, 3)),
+                0, 255).astype(np.uint8)
+    return x, y.astype(np.int32)
+
+
+def test_train_step_reduces_loss():
+    backbone, tx, state = _tiny_setup()
+    spec = transforms_options["A"][0]
+    step = pt.make_train_step(backbone, tx, spec, with_bias=False)
+    r = np.random.RandomState(0)
+    x, y = _class_colored_batch(r, 64)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    losses_seq = []
+    for i in range(30):
+        state, m = step(state, x, y, jax.random.PRNGKey(2))
+        losses_seq.append(float(m["loss"]))
+    assert losses_seq[-1] < losses_seq[0] * 0.7
+    assert int(state.step) == 30
+    # counters incremented once per train forward
+    leaf = jax.tree_util.tree_leaves(state.counters)[0]
+    assert int(leaf) == 30
+
+
+def test_eval_step_and_validation():
+    backbone, tx, state = _tiny_setup()
+    spec_t, spec_e = transforms_options["A"]
+    step = pt.make_train_step(backbone, tx, spec_t, with_bias=False)
+    r = np.random.RandomState(1)
+    x, y = _class_colored_batch(r, 128)
+    for _ in range(40):
+        state, _ = step(state, jnp.asarray(x), jnp.asarray(y),
+                        jax.random.PRNGKey(3))
+    eval_step = pt.make_eval_step(backbone, spec_e, with_bias=False)
+    metrics = pt.run_validation(eval_step, state, x, y, batch_size=32)
+    assert metrics["acc1"] > 50.0  # color-separable classes
+
+
+def test_mesh_data_parallel_step():
+    mesh = mesh_lib.create_mesh(n_data=4, n_model=2)
+    backbone, tx, state = _tiny_setup(dtype=None)
+    state = mesh_lib.replicate_tree(mesh, state)
+    spec = transforms_options["A"][0]
+    step = pt.make_train_step(backbone, tx, spec, with_bias=False, mesh=mesh)
+    r = np.random.RandomState(2)
+    x, y = _class_colored_batch(r, 32)
+    x, y = mesh_lib.shard_batch(mesh, jnp.asarray(x), jnp.asarray(y))
+    state, m = step(state, x, y, jax.random.PRNGKey(4))
+    assert np.isfinite(float(m["loss"]))
+    state, m2 = step(state, x, y, jax.random.PRNGKey(4))
+    assert float(m2["loss"]) < float(m["loss"]) + 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from subspace_reg_tpu.models.head import Head
+    from subspace_reg_tpu.utils.checkpoint import save_checkpoint, load_any
+
+    backbone, tx, state = _tiny_setup()
+    variables = {"params": state.params["backbone"],
+                 "batch_stats": state.batch_stats,
+                 "counters": state.counters}
+    head = Head(weight=state.params["head"]["w"], bias=None,
+                n_active=jnp.asarray(10, jnp.int32))
+    p = str(tmp_path / "m.ckpt")
+    save_checkpoint(p, variables, head,
+                    {"training_classes": {3: 0}, "label2human": ["a"]})
+    v2, h2, meta = load_any(p, max_classes=20)
+    assert meta["training_classes"] == {3: 0}
+    assert int(h2.n_active) == 10
+    assert h2.weight.shape == (20, 32)
+    np.testing.assert_array_equal(np.asarray(h2.weight[:10]),
+                                  np.asarray(head.weight))
+    w1 = jax.tree_util.tree_leaves(variables["params"])
+    w2 = jax.tree_util.tree_leaves(v2["params"])
+    for a, b in zip(w1, w2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

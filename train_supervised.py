@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Supervised backbone pretraining CLI — flag-compatible counterpart of the
+reference entry point (train_supervised.py:38-202).
+
+Golden config (scripts/continual/slurm_run_backbone.sh:30-40):
+
+  python train_supervised.py --trial pretrain --model_path save --tb_path tb \
+      --data_root data --classifier linear --model resnet18 \
+      --save_freq 100 --continual --no_dropblock --no_linear_bias --set_seed 1
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from subspace_reg_tpu.config import parse_option_supervised
+from subspace_reg_tpu.data.mini_imagenet import load_mini_imagenet
+from subspace_reg_tpu.data.tiered_imagenet import load_tiered_imagenet
+from subspace_reg_tpu.data.transforms import transforms_options
+from subspace_reg_tpu.engine import pretrain as pt
+from subspace_reg_tpu.models.factory import create_model
+from subspace_reg_tpu.models.head import Head
+from subspace_reg_tpu.parallel import mesh as mesh_lib
+from subspace_reg_tpu.utils import optim as optim_lib
+from subspace_reg_tpu.utils.checkpoint import save_checkpoint
+from subspace_reg_tpu.utils.logging import AverageMeter, MetricWriter
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    opt = parse_option_supervised(argv)
+    print("************* Training arguments *************")
+    for k, v in vars(opt).items():
+        print(k, v)
+    print("End of arguments.\n")
+
+    np.random.seed(opt.set_seed)
+
+    # ---- data -----------------------------------------------------------
+    if opt.dataset == "miniImageNet":
+        train_split = load_mini_imagenet(opt, split="train", phase="train")
+        val_split = load_mini_imagenet(opt, split="train", phase="val")
+        n_cls = 80 if opt.use_trainval else (60 if opt.continual else 64)
+    elif opt.dataset == "tieredImageNet":
+        train_split = load_tiered_imagenet(opt, partition="train",
+                                           phase="train")
+        val_split = load_tiered_imagenet(opt, partition="train", phase="val")
+        n_cls = 448 if opt.use_trainval else 351
+    else:
+        raise NotImplementedError(opt.dataset)
+
+    train_spec, test_spec = transforms_options[opt.transform]
+    img_size = train_split.imgs.shape[1]
+    train_labels = np.asarray(train_split.labels, np.int32)
+    val_labels = np.asarray(val_split.labels, np.int32)
+    n_train = len(train_labels)
+    steps_per_epoch = n_train // opt.batch_size
+
+    # ---- label-pull embeddings (train_supervised.py:100-118) -----------
+    pull_embeds = None
+    if opt.label_pull is not None:
+        from subspace_reg_tpu.models.embeds import get_embeds
+        vocab = [n for n in train_split.label2human if n != ""]
+        pth = os.path.join(opt.word_embed_path,
+                           f"{opt.dataset}_dim{opt.word_embed_size}.pickle")
+        e = np.asarray(get_embeds(pth, vocab, opt.word_embed_size), np.float32)
+        if getattr(opt, "glove", False):
+            e = e[:, :300]
+        pull_embeds = jnp.asarray(e)
+
+    # ---- model / optimizer ---------------------------------------------
+    import jax.numpy as jnp
+    backbone = create_model(opt.model, n_cls, opt, dataset=opt.dataset,
+                            dtype=jnp.bfloat16)
+    if opt.cosine:
+        sched = optim_lib.cosine_schedule(
+            opt.learning_rate, opt.lr_decay_rate, opt.epochs, steps_per_epoch)
+    else:
+        sched = optim_lib.step_decay_schedule(
+            opt.learning_rate, opt.lr_decay_epochs_list, opt.lr_decay_rate,
+            steps_per_epoch)
+    if opt.adam:
+        tx = optim_lib.adam_torch(sched, weight_decay=0.0005)
+    else:
+        tx = optim_lib.sgd_torch(sched, momentum=opt.momentum,
+                                 weight_decay=opt.weight_decay)
+
+    state = pt.init_pretrain_state(
+        backbone, jax.random.PRNGKey(opt.set_seed), n_cls, img_size, tx,
+        with_bias=opt.linear_bias)
+
+    # ---- mesh (data parallel over all local devices) --------------------
+    mesh = mesh_lib.create_mesh() if jax.device_count() > 1 else None
+    if mesh is not None:
+        state = mesh_lib.replicate_tree(mesh, state)
+
+    train_step = pt.make_train_step(
+        backbone, tx, train_spec, with_bias=opt.linear_bias,
+        label_pull=opt.label_pull, pull_embeds=pull_embeds, mesh=mesh)
+    eval_step = pt.make_eval_step(
+        backbone, test_spec, with_bias=opt.linear_bias,
+        truncate_classes=(200 if (opt.dataset == "tieredImageNet"
+                                  and opt.augment_pretrain_wtrainb) else None))
+
+    logger = MetricWriter(opt.tb_folder)
+    rng_np = np.random.RandomState(opt.set_seed)
+    key = jax.random.PRNGKey(opt.set_seed)
+
+    def save(epoch, final=False):
+        meta = {}
+        if opt.continual:
+            meta["training_classes"] = train_split.basec_map
+            meta["label2human"] = train_split.label2human
+        meta["epoch"] = epoch
+        variables = {"params": state.params["backbone"],
+                     "batch_stats": state.batch_stats,
+                     "counters": state.counters}
+        w = np.asarray(state.params["head"]["w"])
+        b = (np.asarray(state.params["head"]["b"])
+             if opt.linear_bias else None)
+        head = Head(weight=jnp.asarray(w),
+                    bias=jnp.asarray(b) if b is not None else None,
+                    n_active=jnp.asarray(n_cls, jnp.int32))
+        name = (f"{opt.model}_last.ckpt" if final
+                else f"ckpt_epoch_{epoch}.ckpt")
+        save_checkpoint(os.path.join(opt.save_folder, name),
+                        variables, head, meta)
+        print("==> Saved", name)
+
+    # ---- training loop (train_supervised.py:156-202) --------------------
+    for epoch in range(1, opt.epochs + 1):
+        if not opt.eval_only:
+            print("==> training...")
+            t0 = time.time()
+            lm, a1m, a5m = AverageMeter(), AverageMeter(), AverageMeter()
+            n_img = 0
+            for bi, idxs in enumerate(pt.epoch_batches(
+                    rng_np, n_train, opt.batch_size)):
+                import jax.numpy as jnp
+                x = jnp.asarray(train_split.imgs[idxs])
+                y = jnp.asarray(train_labels[idxs])
+                if mesh is not None:
+                    x, y = mesh_lib.shard_batch(mesh, x, y)
+                state, m = train_step(state, x, y, key)
+                n_img += len(idxs)
+                if bi % opt.print_freq == 0:
+                    lm.update(float(m["loss"]), len(idxs))
+                    a1m.update(float(m["acc1"]), len(idxs))
+                    a5m.update(float(m["acc5"]), len(idxs))
+                    print(f"Epoch: [{epoch}][{bi}/{steps_per_epoch}]\t"
+                          f"Loss {lm.val:.4f} ({lm.avg:.4f})\t"
+                          f"Acc@1 {a1m.val:.3f} ({a1m.avg:.3f})\t"
+                          f"Acc@5 {a5m.val:.3f} ({a5m.avg:.3f})")
+                    sys.stdout.flush()
+            dt = time.time() - t0
+            ips = n_img / dt
+            print(f"epoch {epoch}, total time {dt:.2f}, "
+                  f"images/sec {ips:.1f}")
+            print(f" * Acc@1 {a1m.avg:.3f} Acc@5 {a5m.avg:.3f}")
+            logger.log_value("train_acc", a1m.avg, epoch)
+            logger.log_value("train_loss", lm.avg, epoch)
+            logger.log_value("images_per_sec", ips, epoch)
+
+        vm = pt.run_validation(eval_step, state, val_split.imgs, val_labels,
+                               opt.batch_size // 2)
+        print(f" * Val Acc@1 {vm['acc1']:.3f} Acc@5 {vm['acc5']:.3f}")
+        logger.log_value("test_acc", vm["acc1"], epoch)
+        logger.log_value("test_acc_top5", vm["acc5"], epoch)
+        logger.log_value("test_loss", vm["loss"], epoch)
+
+        if epoch % opt.save_freq == 0:
+            save(epoch)
+
+    save(opt.epochs, final=True)
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()
