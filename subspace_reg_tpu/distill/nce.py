@@ -1,0 +1,88 @@
+"""NCE contrastive memory banks (reference distill/NCEAverage.py:8-381).
+
+The torch module held two momentum-updated memory banks (two views, 'l'
+and 'ab') plus running normalization constants Z.  Here the state is an
+explicit pytree and the forward/update is one pure jitted function:
+gathers land on the MXU as batched matmuls, the bank update is a functional
+scatter (index_update) with momentum + L2 renorm, exactly the reference's
+update rule (NCEAverage.py: momentum mul_/add_/renorm).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class NCEAverageState:
+    memory_l: jax.Array     # (output_size, input_size)
+    memory_ab: jax.Array
+    z_l: jax.Array          # scalar normalization constants (-1 = unset)
+    z_ab: jax.Array
+    params: jax.Array       # [K, T, Z_l, Z_ab, momentum] (reference layout)
+
+
+def init_nce_average(rng: jax.Array, output_size: int, input_size: int,
+                     k: int, temperature: float = 0.07,
+                     momentum: float = 0.5) -> NCEAverageState:
+    stdv = 1.0 / jnp.sqrt(input_size / 3.0)
+    k1, k2 = jax.random.split(rng)
+    mem_l = jax.random.uniform(k1, (output_size, input_size),
+                               jnp.float32, -stdv, stdv)
+    mem_ab = jax.random.uniform(k2, (output_size, input_size),
+                                jnp.float32, -stdv, stdv)
+    return NCEAverageState(
+        memory_l=mem_l, memory_ab=mem_ab,
+        z_l=jnp.asarray(-1.0), z_ab=jnp.asarray(-1.0),
+        params=jnp.asarray([k, temperature, -1.0, -1.0, momentum]))
+
+
+def _contrast(memory: jax.Array, v: jax.Array, idx: jax.Array,
+              temperature: float, z: jax.Array):
+    """out[i, j] = exp(<memory[idx[i,j]], v[i]> / T) / Z."""
+    weight = memory[idx]                          # (B, K+1, D)
+    out = jnp.einsum("bkd,bd->bk", weight, v)
+    out = jnp.exp(out / temperature)
+    z_new = jnp.where(z < 0, jnp.mean(out) * memory.shape[0], z)
+    return out / z_new, z_new
+
+
+def _update_bank(memory: jax.Array, v: jax.Array, y: jax.Array,
+                 momentum: float) -> jax.Array:
+    old = memory[y]
+    new = old * momentum + v * (1.0 - momentum)
+    norm = jnp.linalg.norm(new, axis=1, keepdims=True)
+    new = new / jnp.maximum(norm, 1e-12)
+    return memory.at[y].set(new)
+
+
+def nce_forward(state: NCEAverageState, sampler_draw, l: jax.Array,
+                ab: jax.Array, y: jax.Array, rng: jax.Array,
+                idx: Optional[jax.Array] = None
+                ) -> Tuple[jax.Array, jax.Array, NCEAverageState]:
+    """Contrast both views against K sampled negatives + the positive.
+
+    ``sampler_draw(key, shape)`` supplies negatives (AliasSampler.draw or a
+    uniform fallback).  Returns (out_l, out_ab, new_state).
+    """
+    k = int(state.params[0])
+    t = float(state.params[1])
+    momentum = float(state.params[4])
+    b = l.shape[0]
+
+    if idx is None:
+        idx = sampler_draw(rng, (b, k + 1))
+        idx = idx.at[:, 0].set(y)                 # slot 0 = positive
+
+    out_l, z_l = _contrast(state.memory_l, ab, idx, t, state.z_l)
+    out_ab, z_ab = _contrast(state.memory_ab, l, idx, t, state.z_ab)
+
+    new_state = state.replace(
+        memory_l=_update_bank(state.memory_l, l, y, momentum),
+        memory_ab=_update_bank(state.memory_ab, ab, y, momentum),
+        z_l=z_l, z_ab=z_ab)
+    return out_l, out_ab, new_state

@@ -415,6 +415,15 @@ def few_shot_finetune_incremental_test(
     query_buf = np.zeros((geo.max_queries, img_size, img_size, 3), np.float32)
     query_y_buf = np.zeros((geo.max_queries,), np.int32)
 
+    # prediction-dump bookkeeping (language_eval.py:407-438)
+    save_preds = bool(getattr(opt, "save_preds_0", False))
+    preds_rows = {k: [] for k in ("Episode", "Gold", "Prediction",
+                                  "Original_Gold", "Original_Prediction")}
+    id2orig: Dict[int, int] = {}
+    basec_map_rev = {}
+    if opt.continual and meta.get("training_classes"):
+        basec_map_rev = {v: k for k, v in meta["training_classes"].items()}
+
     acc_novel, acc_base = _Meter(), _Meter()
     weighted_avg_l: List[float] = []
     acc_novel_list: List[float] = []
@@ -562,6 +571,43 @@ def few_shot_finetune_incremental_test(
         secs.append(time.time() - t0)
 
         prt(f"***Running weighted avg: {weighted_avg}")
+
+        if save_preds:
+            from ..utils.artifacts import map2original, save_predictions_csv
+            for k, v in orig2id.items():
+                id2orig[v] = k
+            nq0 = geo.n_query_per_session
+            q_pred0 = np.asarray(metrics["query_preds"])[:nq0]
+            q_gold0 = query_y_buf[:nq0]
+            b_pred = np.asarray(metrics["base_preds"])
+            b_gold = np.asarray(base_y)
+            maps = [id2orig, basec_map_rev] if basec_map_rev else [id2orig]
+            try:
+                (qp_o, qg_o), (bp_o, bg_o) = (
+                    map2original([q_pred0, q_gold0], maps),
+                    map2original([b_pred, b_gold], maps))
+            except KeyError:
+                qp_o = qg_o = bp_o = bg_o = None
+            n_rows = len(q_gold0) + len(b_gold)
+            preds_rows["Episode"] += [idx] * n_rows
+            preds_rows["Gold"] += list(q_gold0) + list(b_gold)
+            preds_rows["Prediction"] += list(q_pred0) + list(b_pred)
+            if qp_o is not None:
+                preds_rows["Original_Gold"] += list(qg_o) + list(bg_o)
+                preds_rows["Original_Prediction"] += list(qp_o) + list(bp_o)
+            else:
+                preds_rows["Original_Gold"] += [-1] * n_rows
+                preds_rows["Original_Prediction"] += [-1] * n_rows
+            if idx == iter_num - 1:
+                import os
+                os.makedirs("csv_files_mem", exist_ok=True)
+                fname = (f"csv_files_mem/seed_{opt.set_seed}_{opt.dataset}_"
+                         f"{opt.n_shots}_{opt.label_pull}_"
+                         f"{opt.attraction_override}_continual_{opt.continual}"
+                         f"_mem_{opt.memory_replay}_predictions.csv")
+                save_predictions_csv(
+                    fname, {k: np.asarray(v) for k, v in preds_rows.items()})
+                prt("saved", fname)
         prt(f"{'Classes:':25} {novel_labels}\n"
             f"{'Labels:':25} {vocab_novel}\n"
             f"{'Fine-tuning epochs:':25} {epochs_run}\n"
