@@ -115,7 +115,103 @@ def build_geometry(opt, n_base: int, img_size: int,
 # --------------------------------------------------------------------------
 # the jitted session program
 # --------------------------------------------------------------------------
-def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool):
+def _run_pallas_loop(opt, geo, params, mom_e1, l1, stable_epochs,
+                     f_sup, support_y, f_mem, memory_y, memory_count,
+                     w0, reserved, n_reserved, sem_pullers, n_active,
+                     memory_on, lmbd_base, lmbd_novel, label_pull, dist2sub,
+                     stable_mode, interpret):
+    """Pad operands and dispatch the fused Pallas fine-tune loop."""
+    from ..ops.pallas.finetune import (
+        _round_up, finetune_loop_pallas, pack_scalars)
+
+    c_pad = _round_up(geo.max_classes, 128)
+    d_pad = _round_up(geo.feat_dim, 128)
+    ns_pad = _round_up(geo.n_support, 8)
+    nm_pad = _round_up(max(geo.max_memory, 8), 8)
+
+    def pad2(a, r, c):
+        return jnp.pad(a, ((0, r - a.shape[0]), (0, c - a.shape[1])))
+
+    f32 = jnp.float32
+    f_sup_p = pad2(f_sup, ns_pad, d_pad)
+    f_mem_p = pad2(f_mem, nm_pad, d_pad)
+    w_p = pad2(params["w"], c_pad, d_pad)
+    mom_p = pad2(mom_e1, c_pad, d_pad)
+    w0_p = pad2(w0, c_pad, d_pad)
+    res_p = jnp.zeros((c_pad, d_pad), f32)
+    res_p = jax.lax.dynamic_update_slice(
+        res_p, pad2(reserved, reserved.shape[0], d_pad), (geo.orig_base, 0))
+
+    colm = jnp.arange(c_pad) < n_active
+    sup_rows = jnp.arange(ns_pad) < geo.n_support
+    rm_sup = (sup_rows[:, None] & colm[None, :]).astype(f32)
+    y_sup_p = jnp.pad(support_y, (0, ns_pad - support_y.shape[0]))
+    oh_sup = jax.nn.one_hot(y_sup_p, c_pad, dtype=f32) * sup_rows[:, None]
+
+    mem_rows = jnp.arange(nm_pad) < memory_count
+    rm_mem = (mem_rows[:, None] & colm[None, :]).astype(f32)
+    y_mem_p = jnp.pad(memory_y, (0, nm_pad - memory_y.shape[0]))
+    oh_mem = jax.nn.one_hot(y_mem_p, c_pad, dtype=f32) * mem_rows[:, None]
+
+    pull_mode = "none"
+    pull_M = jnp.zeros((d_pad, d_pad), f32)
+    pull_T = jnp.zeros((c_pad, d_pad), f32)
+    if label_pull is not None:
+        if dist2sub:
+            pull_mode = "subspace"
+            q, _ = jnp.linalg.qr(w0[: geo.orig_base].T)   # (feat, base)
+            m = jnp.eye(geo.feat_dim, dtype=f32) - q @ q.T
+            pull_M = pad2(m, d_pad, d_pad)
+        else:
+            pull_mode = "semantic"
+            pull_T = jax.lax.dynamic_update_slice(
+                pull_T, pad2(sem_pullers, geo.n_ways, d_pad),
+                (n_active - geo.n_ways, 0))
+
+    scalars = pack_scalars(
+        lr=opt.learning_rate, wd=opt.weight_decay, momentum=opt.momentum,
+        lmbd_base=(lmbd_base or 0.0), lmbd_novel=(lmbd_novel or 0.0),
+        gamma=(label_pull or 0.0), eps=opt.convergence_epsilon,
+        target_loss=opt.target_train_loss, min_epochs=opt.min_novel_epochs,
+        max_epochs=opt.max_novel_epochs, stable_target=opt.stable_epochs,
+        n_active=n_active, n_reserved=n_reserved, mem_count=memory_count,
+        prev_loss0=l1, stable0=stable_epochs, orig_base=geo.orig_base,
+        n_ways=geo.n_ways)
+
+    w_out, stats = finetune_loop_pallas(
+        f_sup_p, oh_sup, rm_sup, f_mem_p, oh_mem, rm_mem,
+        w_p, mom_p, w0_p, res_p, pull_M, pull_T, scalars,
+        n_sup=geo.n_support, memory_on=memory_on,
+        use_regbase=(lmbd_base is not None),
+        use_regnovel=(lmbd_novel is not None),
+        pull_mode=pull_mode, stable_mode=stable_mode,
+        orig_base=geo.orig_base, n_ways=geo.n_ways, interpret=interpret)
+
+    w = w_out[: geo.max_classes, : geo.feat_dim]
+    params = {"w": w}
+    train_loss = stats[0, 0]
+    epoch = stats[0, 1].astype(jnp.int32)
+    logits = f_sup @ w.T
+    logits = jnp.where(jnp.arange(geo.max_classes)[None, :] < n_active,
+                       logits, head_lib.NEG_INF)
+    acc1, acc5 = losses.accuracy_topk(logits, support_y)
+    return params, train_loss, epoch, acc1, acc5
+
+
+def _resolve_pallas(pallas_mode: str, opt, with_bias: bool):
+    """'auto' => fused Pallas loop on TPU for the SGD/no-bias golden path."""
+    if pallas_mode == "off":
+        return False, False
+    eligible = (not opt.adam) and (not with_bias)
+    if pallas_mode == "interpret":
+        return eligible, True
+    if pallas_mode == "on":
+        return eligible, False
+    return eligible and jax.default_backend() == "tpu", False
+
+
+def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
+                    pallas_mode: str = "auto"):
     """Build the once-compiled session program."""
 
     tx = optim_lib.get_optim(opt)
@@ -125,6 +221,7 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool):
     label_pull = opt.label_pull if getattr(opt, "pulling", "regularize") == "regularize" else None
     dist2sub = (opt.attraction_override == "distance2subspace")
     stable_mode = (opt.target_train_loss == 0)
+    use_pallas, pallas_interpret = _resolve_pallas(pallas_mode, opt, with_bias)
 
     def apply_eval(variables, x):
         return backbone.apply(
@@ -235,8 +332,16 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool):
 
         (l1, (a1, a5)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, f_sup_tr, f_mem_tr)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        mom_e1 = None
+        if use_pallas:
+            # manual torch-SGD epoch-1 step: exposes the momentum buffer for
+            # the fused loop; numerically identical to the optax chain
+            g1 = grads["w"] + opt.weight_decay * params["w"]
+            mom_e1 = g1
+            params = {"w": params["w"] - opt.learning_rate * mom_e1}
+        else:
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         stable_epochs, stop = stop_update(
             l1, jnp.asarray(15.0), jnp.asarray(0, jnp.int32),
             jnp.asarray(1, jnp.int32))
@@ -248,23 +353,33 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool):
         f_base = apply_eval(vars2, base_x)
 
         # ---- epochs 2..N: pure head fine-tuning on cached features ----
-        def cond(c):
-            return ~c[5]
+        if use_pallas:
+            # fused on-chip loop (ops/pallas/finetune.py): ~5 us/epoch on
+            # v5e vs per-epoch dispatch under lax.while_loop
+            params, train_loss, epoch, acc1, acc5 = _run_pallas_loop(
+                opt, geo, params, mom_e1, l1, stable_epochs,
+                f_sup, support_y, f_mem, memory_y, memory_count,
+                w0, reserved, n_reserved, sem_pullers, n_active,
+                memory_on, lmbd_base, lmbd_novel, label_pull, dist2sub,
+                stable_mode, pallas_interpret)
+        else:
+            def cond(c):
+                return ~c[5]
 
-        def body(c):
-            p, s, prev_loss, st_ep, epoch, _ , _, _= c
-            epoch = epoch + 1
-            (l, (acc1, acc5)), g = jax.value_and_grad(
-                loss_fn, has_aux=True)(p, f_sup, f_mem)
-            upd, s = tx.update(g, s, p)
-            p = optax.apply_updates(p, upd)
-            st_ep, stp = stop_update(l, prev_loss, st_ep, epoch)
-            return (p, s, l, st_ep, epoch, stp, acc1, acc5)
+            def body(c):
+                p, s, prev_loss, st_ep, epoch, _, _, _ = c
+                epoch = epoch + 1
+                (l, (acc1, acc5)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(p, f_sup, f_mem)
+                upd, s = tx.update(g, s, p)
+                p = optax.apply_updates(p, upd)
+                st_ep, stp = stop_update(l, prev_loss, st_ep, epoch)
+                return (p, s, l, st_ep, epoch, stp, acc1, acc5)
 
-        carry = (params, opt_state, l1, stable_epochs,
-                 jnp.asarray(1, jnp.int32), stop, a1, a5)
-        params, opt_state, train_loss, stable_epochs, epoch, _, acc1, acc5 = \
-            jax.lax.while_loop(cond, body, carry)
+            carry = (params, opt_state, l1, stable_epochs,
+                     jnp.asarray(1, jnp.int32), stop, a1, a5)
+            params, opt_state, train_loss, stable_epochs, epoch, _, acc1, acc5 = \
+                jax.lax.while_loop(cond, body, carry)
 
         # ---- final evaluation ----
         logits_q = head_logits(params, f_query, n_active)
@@ -354,7 +469,8 @@ def few_shot_finetune_incremental_test(
         backbone, variables, head0, meta, opt,
         meta_sampler: EpisodeSampler,
         base_test_split, base_support_sampler=None,
-        base_split_for_vocab=None, verbose: bool = True) -> IncrementalResult:
+        base_split_for_vocab=None, verbose: bool = True,
+        pallas_mode: str = "auto") -> IncrementalResult:
     """Run the multi-session protocol. Mirrors language_eval.py:71-454."""
 
     prt = print if verbose else (lambda *a, **k: None)
@@ -392,7 +508,8 @@ def few_shot_finetune_incremental_test(
                                            train_spec)
         base_sup_y = ep.support_y.astype(np.int32)
 
-    session_fn = make_session_fn(backbone, opt, geo, with_bias)
+    session_fn = make_session_fn(backbone, opt, geo, with_bias,
+                                 pallas_mode=pallas_mode)
     base_eval = eval_base_fn(backbone)
 
     # state threaded across sessions

@@ -1,0 +1,248 @@
+"""Fused FSCIL fine-tune loop as a single Pallas TPU kernel.
+
+The incremental engine's hot loop (engine/incremental.py, mirroring
+reference eval/language_eval.py:242-318) is, after feature caching, a chain
+of tiny ops per epoch: two (N,640)x(640,C) matmuls, softmax CE gradients,
+three regularizer gradients, and a torch-SGD update — repeated until the
+convergence logic stops.  Under XLA's ``lax.while_loop`` each epoch costs a
+round trip through HBM for every operand; the total working set, however,
+is < 6 MB — it fits in VMEM outright.
+
+This kernel runs the ENTIRE loop on-chip: operands are loaded once, the
+``lax.while_loop`` iterates over value-carried (W, momentum) register/VMEM
+state, and only the final weights + stats are written back.
+
+Semantics replicated exactly (verified against the XLA path in
+tests/test_pallas_finetune.py):
+  * CE over support (+ padded replay memory, masked, mean over valid)
+  * base-anchor ||W[:60]-W0|| (UN-squared, zero-subgradient at 0)
+  * previous-novel anchor ||W[60:60+k]-R|| (UN-squared)
+  * subspace pull gamma*||cur @ (I - QQ^T)||^2 with gradient 2*gamma*cur@M
+    (M = I - QQ^T, symmetric idempotent), or semantic pull to a constant
+    target
+  * coupled weight decay -> momentum -> lr update (torch SGD)
+  * stable-epoch / target-loss / max-epoch stopping
+    (reference eval/language_eval.py:298-318)
+
+Row geometry: class axis padded to a multiple of 128 lanes; support/memory
+rows padded to sublane multiples; all masking is baked into the
+row-x-active-class mask matrices built by the wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _make_kernel(cfg):
+    (n_sup, memory_on, use_regbase, use_regnovel, pull_mode,
+     stable_mode, c_pad, d) = cfg
+
+    def kernel(f_sup_ref, oh_sup_ref, rm_sup_ref,
+               f_mem_ref, oh_mem_ref, rm_mem_ref,
+               w_ref, mom_ref, w0_ref, reserved_ref,
+               pull_op_ref, pull_tgt_ref, scalars_ref,
+               w_out_ref, stats_out_ref):
+        f_sup = f_sup_ref[:]
+        oh_sup = oh_sup_ref[:]
+        rm_sup = rm_sup_ref[:]
+        w0 = w0_ref[:]
+        reserved = reserved_ref[:]
+
+        lr = scalars_ref[0]
+        wd = scalars_ref[1]
+        momentum = scalars_ref[2]
+        lmbd_base = scalars_ref[3]
+        lmbd_novel = scalars_ref[4]
+        gamma = scalars_ref[5]
+        eps = scalars_ref[6]
+        target_loss = scalars_ref[7]
+        min_epochs = scalars_ref[8]
+        max_epochs = scalars_ref[9]
+        stable_target = scalars_ref[10]
+        n_active = scalars_ref[11]
+        n_reserved = scalars_ref[12]
+        mem_count = scalars_ref[13]
+        prev_loss0 = scalars_ref[14]
+        stable0 = scalars_ref[15]
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (c_pad, d), 0)
+        rows_f = rows.astype(jnp.float32)
+        base_m = (rows_f < scalars_ref[16]).astype(jnp.float32)   # orig_base
+        novel_m = ((rows_f >= scalars_ref[16])
+                   & (rows_f < scalars_ref[16] + n_reserved)
+                   ).astype(jnp.float32)
+        cur_m = ((rows_f >= n_active - scalars_ref[17])          # n_ways
+                 & (rows_f < n_active)).astype(jnp.float32)
+
+        def loss_and_grad(w):
+            # support CE
+            logits = jnp.dot(f_sup, w.T, preferred_element_type=jnp.float32)
+            logits = jnp.where(rm_sup > 0, logits, NEG)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            s = jnp.sum(e, axis=-1, keepdims=True)
+            p = e / s
+            logp = logits - m - jnp.log(s)
+            loss = -jnp.sum(oh_sup * logp) * (1.0 / n_sup)
+            dlog = (p * rm_sup - oh_sup) * (1.0 / n_sup)
+            g = jnp.dot(dlog.T, f_sup, preferred_element_type=jnp.float32)
+
+            if memory_on:
+                f_mem = f_mem_ref[:]
+                oh_mem = oh_mem_ref[:]
+                rm_mem = rm_mem_ref[:]
+                inv_cnt = 1.0 / jnp.maximum(mem_count, 1.0)
+                lg2 = jnp.dot(f_mem, w.T, preferred_element_type=jnp.float32)
+                lg2 = jnp.where(rm_mem > 0, lg2, NEG)
+                m2 = jnp.max(lg2, axis=-1, keepdims=True)
+                e2 = jnp.exp(lg2 - m2)
+                s2 = jnp.sum(e2, axis=-1, keepdims=True)
+                p2 = e2 / s2
+                logp2 = lg2 - m2 - jnp.log(s2)
+                loss = loss - jnp.sum(oh_mem * logp2) * inv_cnt
+                dlog2 = (p2 * rm_mem - oh_mem) * inv_cnt
+                g = g + jnp.dot(dlog2.T, f_mem,
+                                preferred_element_type=jnp.float32)
+
+            if use_regbase:
+                diff = (w - w0) * base_m
+                sq = jnp.sum(diff * diff)
+                norm = jnp.sqrt(jnp.where(sq == 0, 1.0, sq))
+                norm = jnp.where(sq == 0, 0.0, norm)
+                loss = loss + lmbd_base * norm
+                inv = jnp.where(norm == 0, 0.0, 1.0 / jnp.maximum(norm, 1e-30))
+                g = g + lmbd_base * diff * inv
+
+            if use_regnovel:
+                diff = (w - reserved) * novel_m
+                sq = jnp.sum(diff * diff)
+                norm = jnp.sqrt(jnp.where(sq == 0, 1.0, sq))
+                norm = jnp.where(sq == 0, 0.0, norm)
+                loss = loss + lmbd_novel * norm
+                inv = jnp.where(norm == 0, 0.0, 1.0 / jnp.maximum(norm, 1e-30))
+                g = g + lmbd_novel * diff * inv
+
+            if pull_mode == "subspace":
+                cur = w * cur_m
+                v = jnp.dot(cur, pull_op_ref[:],
+                            preferred_element_type=jnp.float32)
+                loss = loss + gamma * jnp.sum(v * v)
+                g = g + 2.0 * gamma * v * cur_m
+            elif pull_mode == "semantic":
+                diff = (w - pull_tgt_ref[:]) * cur_m
+                loss = loss + gamma * jnp.sum(diff * diff)
+                g = g + 2.0 * gamma * diff
+
+            return loss, g
+
+        def sgd(w, mom, g):
+            g = g + wd * w
+            mom = momentum * mom + g
+            return w - lr * mom, mom
+
+        def stop_logic(loss, prev_loss, stable, epoch):
+            stop = jnp.asarray(False)
+            if stable_mode:
+                is_st = jnp.abs(loss - prev_loss) < eps
+                stable = jnp.where(is_st, stable + 1.0, 0.0)
+                stop = stop | (stable == stable_target)
+            stop = stop | (epoch >= max_epochs)
+            stop = stop | ((loss <= target_loss) & (epoch >= min_epochs + 1.0))
+            return stable, stop
+
+        def cond(carry):
+            return ~carry[5]
+
+        def body(carry):
+            w, mom, prev_loss, stable, epoch, _ = carry
+            epoch = epoch + 1.0
+            loss, g = loss_and_grad(w)
+            w, mom = sgd(w, mom, g)
+            stable, stop = stop_logic(loss, prev_loss, stable, epoch)
+            return (w, mom, loss, stable, epoch, stop)
+
+        # epoch 1 already ran outside (train-mode features, one SGD step);
+        # ``stable0``/``prev_loss0`` carry its post-update convergence state,
+        # so replay its stop decision exactly as the engine would
+        stable_init = stable0
+        stop_init = jnp.asarray(False)
+        if stable_mode:
+            stop_init = stop_init | (stable_init == stable_target)
+        stop_init = stop_init | (1.0 >= max_epochs)
+        stop_init = stop_init | ((prev_loss0 <= target_loss)
+                                 & (1.0 >= min_epochs + 1.0))
+
+        carry = (w_ref[:], mom_ref[:], prev_loss0, stable_init,
+                 jnp.asarray(1.0), stop_init)
+        w, mom, loss, stable, epoch, _ = jax.lax.while_loop(cond, body, carry)
+
+        w_out_ref[:] = w
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        stats = jnp.where(lane == 0, loss,
+                          jnp.where(lane == 1, epoch,
+                                    jnp.where(lane == 2, stable, 0.0)))
+        stats_out_ref[:] = stats
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sup", "memory_on", "use_regbase", "use_regnovel",
+                     "pull_mode", "stable_mode", "orig_base", "n_ways",
+                     "interpret"))
+def finetune_loop_pallas(
+        f_sup, oh_sup, rm_sup, f_mem, oh_mem, rm_mem,
+        w, mom, w0, reserved, pull_op, pull_tgt, scalars,
+        *, n_sup: int, memory_on: bool, use_regbase: bool,
+        use_regnovel: bool, pull_mode: str, stable_mode: bool,
+        orig_base: int, n_ways: int, interpret: bool = False):
+    """Run the fused loop.  All arrays pre-padded by the caller:
+    f_sup (Ns,D), oh/rm_sup (Ns,Cp), f_mem (Nm,D), oh/rm_mem (Nm,Cp),
+    w/mom/w0/reserved/pull_tgt (Cp,D), pull_op (D,D),
+    scalars (32,) f32 laid out as documented in the kernel.
+    Returns (w_final (Cp,D), stats (1,128))."""
+    c_pad, d = w.shape
+    cfg = (float(n_sup), memory_on, use_regbase, use_regnovel, pull_mode,
+           stable_mode, c_pad, d)
+    kernel = _make_kernel(cfg)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((c_pad, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 128), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(f_sup, oh_sup, rm_sup, f_mem, oh_mem, rm_mem,
+      w, mom, w0, reserved, pull_op, pull_tgt, scalars)
+    return out
+
+
+def pack_scalars(lr, wd, momentum, lmbd_base, lmbd_novel, gamma, eps,
+                 target_loss, min_epochs, max_epochs, stable_target,
+                 n_active, n_reserved, mem_count, prev_loss0, stable0,
+                 orig_base, n_ways) -> jnp.ndarray:
+    s = jnp.zeros((32,), jnp.float32)
+    vals = [lr, wd, momentum, lmbd_base, lmbd_novel, gamma, eps,
+            target_loss, min_epochs, max_epochs, stable_target,
+            n_active, n_reserved, mem_count, prev_loss0, stable0,
+            orig_base, n_ways]
+    for i, v in enumerate(vals):
+        s = s.at[i].set(jnp.asarray(v, jnp.float32))
+    return s

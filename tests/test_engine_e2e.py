@@ -90,7 +90,7 @@ def env(tmp_path_factory):
                 head0=head0)
 
 
-def _run(env, **overrides):
+def _run(env, pallas_mode="off", **overrides):
     opt = env["opt"]
     for k, v in overrides.items():
         setattr(opt, k, v)
@@ -101,7 +101,8 @@ def _run(env, **overrides):
     return few_shot_finetune_incremental_test(
         env["backbone"], env["variables"], env["head0"], {}, opt,
         meta_sampler=meta_sampler, base_test_split=env["base_test"],
-        base_support_sampler=base_support, verbose=False)
+        base_support_sampler=base_support, verbose=False,
+        pallas_mode=pallas_mode)
 
 
 def test_finetune_with_memory(env):
@@ -130,6 +131,20 @@ def test_semantic_subspace_reg(env):
                temperature=3.0)
     assert len(res.acc_novel_list) == 8
     assert np.isfinite(res.acc_novel_avg)
+
+
+def test_pallas_loop_matches_xla_loop(env):
+    """The fused Pallas fine-tune loop (interpret mode on CPU) must
+    reproduce the XLA while_loop engine run."""
+    ref = _run(env, pallas_mode="off", label_pull=1.0,
+               attraction_override="distance2subspace", max_novel_epochs=30)
+    got = _run(env, pallas_mode="interpret", label_pull=1.0,
+               attraction_override="distance2subspace", max_novel_epochs=30)
+    assert got.epochs_per_session == ref.epochs_per_session
+    np.testing.assert_allclose(got.acc_novel_list, ref.acc_novel_list,
+                               atol=0.75)
+    np.testing.assert_allclose(got.acc_base_list, ref.acc_base_list,
+                               atol=0.75)
 
 
 def test_base_regularizer_anchors_base_rows(env):

@@ -1,0 +1,170 @@
+"""Exactness of the fused Pallas fine-tune loop against an independent
+jnp reference implementation of the same math (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from subspace_reg_tpu.ops.pallas.finetune import (
+    finetune_loop_pallas, pack_scalars)
+
+C_PAD, D = 128, 128
+N_SUP_PAD, N_MEM_PAD = 64, 32
+NEG = -1e9
+
+
+def _reference_loop(f_sup, y_sup, n_sup, f_mem, y_mem, mem_count,
+                    w, mom, w0, reserved, pull_M, pull_T,
+                    hp, flags):
+    """Pure-jnp replica of engine/incremental.py's while_loop body."""
+    (lr, wd, momentum, lb, ln, gamma, eps, target, min_e, max_e,
+     stable_t, n_active, n_reserved, prev_loss, stable0,
+     orig_base, n_ways) = hp
+    memory_on, use_rb, use_rn, pull_mode, stable_mode = flags
+
+    rows = np.arange(C_PAD)
+
+    def loss_grad(w):
+        def ce(f, y, rmask, denom):
+            logits = f @ w.T
+            cm = rows[None, :] < n_active
+            logits = np.where(cm & rmask[:, None].astype(bool), logits, NEG)
+            m = logits.max(1, keepdims=True)
+            e = np.exp(logits - m)
+            p = e / e.sum(1, keepdims=True)
+            logp = logits - m - np.log(e.sum(1, keepdims=True))
+            oh = np.zeros_like(p)
+            oh[np.arange(len(y)), y] = rmask
+            loss = -(oh * logp).sum() / denom
+            dlog = (p * (rmask[:, None] * cm) - oh) / denom
+            return loss, dlog.T @ f
+
+        rm_s = np.zeros(f_sup.shape[0]); rm_s[:n_sup] = 1
+        loss, g = ce(f_sup, y_sup, rm_s, n_sup)
+        if memory_on:
+            rm_m = np.zeros(f_mem.shape[0]); rm_m[:mem_count] = 1
+            l2, g2 = ce(f_mem, y_mem, rm_m, max(mem_count, 1))
+            loss, g = loss + l2, g + g2
+        if use_rb:
+            mask = (rows < orig_base)[:, None]
+            diff = (w - w0) * mask
+            norm = np.sqrt((diff ** 2).sum())
+            loss += lb * norm
+            g = g + (lb * diff / norm if norm > 0 else 0)
+        if use_rn:
+            mask = ((rows >= orig_base) & (rows < orig_base + n_reserved))[:, None]
+            diff = (w - reserved) * mask
+            norm = np.sqrt((diff ** 2).sum())
+            loss += ln * norm
+            g = g + (ln * diff / norm if norm > 0 else 0)
+        cm = ((rows >= n_active - n_ways) & (rows < n_active))[:, None]
+        if pull_mode == "subspace":
+            v = (w * cm) @ pull_M
+            loss += gamma * (v ** 2).sum()
+            g = g + 2 * gamma * v * cm
+        elif pull_mode == "semantic":
+            diff = (w - pull_T) * cm
+            loss += gamma * (diff ** 2).sum()
+            g = g + 2 * gamma * diff
+        return loss, g
+
+    stable, epoch = stable0, 1.0
+    stop = False
+    if stable_mode:
+        stop = stop or (stable == stable_t)
+    stop = stop or (epoch >= max_e)
+    stop = stop or (prev_loss <= target and epoch >= min_e + 1)
+    loss = prev_loss
+    while not stop:
+        epoch += 1
+        loss, g = loss_grad(w)
+        g = g + wd * w
+        mom = momentum * mom + g
+        w = w - lr * mom
+        if stable_mode:
+            stable = stable + 1 if abs(loss - prev_loss) < eps else 0
+            if stable == stable_t:
+                stop = True
+        if epoch >= max_e:
+            stop = True
+        if loss <= target and epoch >= min_e + 1:
+            stop = True
+        prev_loss = loss
+    return w, loss, epoch
+
+
+@pytest.mark.parametrize("pull_mode", ["none", "subspace", "semantic"])
+@pytest.mark.parametrize("memory_on", [False, True])
+def test_pallas_matches_reference(pull_mode, memory_on):
+    r = np.random.RandomState(0)
+    n_sup, mem_count = 40, 20 if memory_on else 0
+    orig_base, n_ways = 20, 5
+    n_active, n_reserved = 30, 5
+
+    f_sup = np.zeros((N_SUP_PAD, D), np.float32)
+    f_sup[:n_sup] = r.randn(n_sup, D).astype(np.float32)
+    y_sup = np.zeros(N_SUP_PAD, np.int64)
+    y_sup[:n_sup] = r.randint(25, 30, n_sup)
+    f_mem = np.zeros((N_MEM_PAD, D), np.float32)
+    y_mem = np.zeros(N_MEM_PAD, np.int64)
+    if memory_on:
+        f_mem[:mem_count] = r.randn(mem_count, D).astype(np.float32)
+        y_mem[:mem_count] = r.randint(20, 25, mem_count)
+
+    w = np.zeros((C_PAD, D), np.float32)
+    w[:n_active] = 0.1 * r.randn(n_active, D)
+    w0 = np.zeros_like(w)
+    w0[:orig_base] = w[:orig_base] + 0.01 * r.randn(orig_base, D)
+    reserved = np.zeros_like(w)
+    reserved[orig_base:orig_base + n_reserved] = 0.1 * r.randn(n_reserved, D)
+    mom = np.zeros_like(w)
+
+    q, _ = np.linalg.qr(w0[:orig_base].T)
+    pull_M = (np.eye(D) - q @ q.T).astype(np.float32)
+    pull_T = np.zeros_like(w)
+    pull_T[n_active - n_ways:n_active] = 0.05 * r.randn(n_ways, D)
+
+    hp = (0.01, 5e-3, 0.9, 0.2, 0.1, 0.5, 1e-4, 0.0, 3, 25, 4,
+          n_active, n_reserved, 5.0, 0.0, orig_base, n_ways)
+    flags = (memory_on, True, True, pull_mode, True)
+
+    w_ref, loss_ref, epoch_ref = _reference_loop(
+        f_sup.copy(), y_sup, n_sup, f_mem.copy(), y_mem, mem_count,
+        w.copy(), mom.copy(), w0, reserved, pull_M, pull_T, hp, flags)
+
+    # pallas inputs
+    rows = np.arange(C_PAD)
+    cm = (rows < n_active)
+    rm_sup = ((np.arange(N_SUP_PAD) < n_sup)[:, None] & cm[None, :]
+              ).astype(np.float32)
+    oh_sup = np.zeros((N_SUP_PAD, C_PAD), np.float32)
+    oh_sup[np.arange(N_SUP_PAD), y_sup] = rm_sup.max(1)
+    rm_mem = ((np.arange(N_MEM_PAD) < mem_count)[:, None] & cm[None, :]
+              ).astype(np.float32)
+    oh_mem = np.zeros((N_MEM_PAD, C_PAD), np.float32)
+    oh_mem[np.arange(N_MEM_PAD), y_mem] = rm_mem.max(1)
+
+    scalars = pack_scalars(
+        lr=0.01, wd=5e-3, momentum=0.9, lmbd_base=0.2, lmbd_novel=0.1,
+        gamma=0.5, eps=1e-4, target_loss=0.0, min_epochs=3, max_epochs=25,
+        stable_target=4, n_active=n_active, n_reserved=n_reserved,
+        mem_count=mem_count, prev_loss0=5.0, stable0=0.0,
+        orig_base=orig_base, n_ways=n_ways)
+
+    w_out, stats = finetune_loop_pallas(
+        jnp.asarray(f_sup), jnp.asarray(oh_sup), jnp.asarray(rm_sup),
+        jnp.asarray(f_mem), jnp.asarray(oh_mem), jnp.asarray(rm_mem),
+        jnp.asarray(w), jnp.asarray(mom), jnp.asarray(w0),
+        jnp.asarray(reserved), jnp.asarray(pull_M), jnp.asarray(pull_T),
+        scalars,
+        n_sup=n_sup, memory_on=memory_on, use_regbase=True,
+        use_regnovel=True, pull_mode=pull_mode, stable_mode=True,
+        orig_base=orig_base, n_ways=n_ways, interpret=True)
+
+    assert int(stats[0, 1]) == int(epoch_ref)
+    np.testing.assert_allclose(float(stats[0, 0]), loss_ref,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_out), w_ref,
+                               rtol=2e-4, atol=2e-5)
