@@ -528,8 +528,14 @@ def few_shot_finetune_incremental_test(
 
     reserved = np.zeros((geo.max_novel, geo.feat_dim), np.float32)
     n_reserved = 0
-    memory = ReplayMemory(geo.max_memory, (img_size, img_size, 3))
-    query_buf = np.zeros((geo.max_queries, img_size, img_size, 3), np.float32)
+    # device-resident padded buffers: updated in place on device each
+    # session instead of re-uploading ~190MB of padded images from host
+    memory_data = jnp.zeros((geo.max_memory, img_size, img_size, 3),
+                            jnp.float32)
+    memory_labels = jnp.zeros((geo.max_memory,), jnp.int32)
+    memory_count = 0
+    query_buf = jnp.zeros((geo.max_queries, img_size, img_size, 3),
+                          jnp.float32)
     query_y_buf = np.zeros((geo.max_queries,), np.int32)
 
     # prediction-dump bookkeeping (language_eval.py:407-438)
@@ -593,18 +599,20 @@ def few_shot_finetune_incremental_test(
 
         # device-side augmentation of this session's support
         k_aug = jax.random.PRNGKey(opt.set_seed * 100003 + idx)
-        support_x = np.asarray(aug_ops.augment_batch(
-            k_aug, jnp.asarray(ep.support_x), train_spec))
-        query_x = np.asarray(aug_ops.normalize_batch(
-            jnp.asarray(ep.query_x), test_spec))
+        support_x = aug_ops.augment_batch(
+            k_aug, jnp.asarray(ep.support_x), train_spec)
+        query_x = aug_ops.normalize_batch(
+            jnp.asarray(ep.query_x), test_spec)
 
-        # grow the query collection (language_eval.py:198-204)
+        # grow the query collection (language_eval.py:198-204) — in place
+        # on device
         nq = geo.n_query_per_session
-        query_buf[idx * nq:(idx + 1) * nq] = query_x
+        query_buf = jax.lax.dynamic_update_slice(
+            query_buf, query_x, (idx * nq, 0, 0, 0))
         query_y_buf[idx * nq:(idx + 1) * nq] = query_ys_id
 
         if base_sup_x is not None:
-            support_x = np.concatenate([support_x, np.asarray(base_sup_x)], 0)
+            support_x = jnp.concatenate([support_x, base_sup_x], 0)
             support_ys_id = np.concatenate([support_ys_id, base_sup_y])
 
         # classifier growth (language_eval.py:214)
@@ -621,7 +629,13 @@ def few_shot_finetune_incremental_test(
 
         # semantic / mapping attractors (language_eval.py:216-228)
         sem_pullers = np.zeros((geo.n_ways, geo.feat_dim), np.float32)
-        if opt.label_pull is not None and getattr(opt, "pulling", "regularize") == "regularize":
+        if (opt.label_pull is not None
+                and getattr(opt, "pulling", "regularize") == "regularize"
+                and opt.attraction_override != "distance2subspace"):
+            # (the reference instantiates LangPuller — and so requires the
+            # embedding pickles on disk — even for distance2subspace, where
+            # its attractors are immediately overridden; we only touch the
+            # embeds when they are actually used, language_eval.py:218-228)
             if idx == 0:
                 lang_state = lp.create_lang_puller(opt, vocab_base, vocab_novel)
             else:
@@ -629,9 +643,8 @@ def few_shot_finetune_incremental_test(
             if opt.attraction_override == "mapping_linear_label2image":
                 m = meta["mapping_linear_label2image"]
                 lang_state = lp.with_mapping(lang_state, m["weight"], m["bias"])
-            if opt.attraction_override != "distance2subspace":
-                sem_pullers = np.asarray(lp.pullers(
-                    lang_state, jnp.asarray(w0[: geo.orig_base])))
+            sem_pullers = np.asarray(lp.pullers(
+                lang_state, jnp.asarray(w0[: geo.orig_base])))
 
         # ---- the compiled session ----
         run_vars = {"params": params_bb, "batch_stats": batch_stats,
@@ -641,10 +654,10 @@ def few_shot_finetune_incremental_test(
             jnp.asarray(head_b), jnp.asarray(n_active, jnp.int32),
             jnp.asarray(w0), jnp.asarray(b0),
             jnp.asarray(reserved), jnp.asarray(n_reserved, jnp.int32),
-            jnp.asarray(support_x), jnp.asarray(support_ys_id),
-            jnp.asarray(memory.data), jnp.asarray(memory.labels),
-            jnp.asarray(memory.count, jnp.int32),
-            jnp.asarray(query_buf), jnp.asarray(query_y_buf),
+            support_x, jnp.asarray(support_ys_id),
+            memory_data, memory_labels,
+            jnp.asarray(memory_count, jnp.int32),
+            query_buf, jnp.asarray(query_y_buf),
             jnp.asarray(idx + 1, jnp.int32),
             base_x, base_y,
             jnp.asarray(sem_pullers), jnp.asarray(idx, jnp.int32),
@@ -661,7 +674,13 @@ def few_shot_finetune_incremental_test(
             offset = np.arange(0, 125, 25)
             inds = np.tile(margin + inds, (5, 1)) + (np.tile(offset, (5, 1))).T
             inds = inds.flatten()
-            memory.additems(support_x[inds], support_ys_id[inds])
+            memory_data = jax.lax.dynamic_update_slice(
+                memory_data, support_x[jnp.asarray(inds)],
+                (memory_count, 0, 0, 0))
+            memory_labels = jax.lax.dynamic_update_slice(
+                memory_labels, jnp.asarray(support_ys_id[inds], jnp.int32),
+                (memory_count,))
+            memory_count += len(inds)
 
         # ---- metrics (language_eval.py:370-395) ----
         chunk_accs = np.asarray(metrics["chunk_accs"])
