@@ -198,6 +198,116 @@ def _run_pallas_loop(opt, geo, params, mom_e1, l1, stable_epochs,
     return params, train_loss, epoch, acc1, acc5
 
 
+def _run_tracked(fns, opt, geo, prt, run_vars, head_w, head_b, n_active,
+                 w0, b0, reserved, n_reserved, support_x, support_ys_id,
+                 memory_data, memory_labels, memory_count, query_buf,
+                 query_y_buf, idx, base_x, base_y, sem_pullers, with_bias,
+                 vocab_base, vocab_novel,
+                 track_weight_rows, track_inspired_rows):
+    """Per-epoch host loop for the tracking/verbose observability paths
+    (reference language_eval.py:310-315,328-342).  Slower than the compiled
+    session program (one device sync per epoch) — only used when tracking
+    artifacts or per-epoch prints are requested."""
+    support_y = jnp.asarray(support_ys_id)
+    out = fns["prepare"](
+        run_vars, jnp.asarray(head_w), jnp.asarray(head_b),
+        jnp.asarray(n_active, jnp.int32), jnp.asarray(w0), jnp.asarray(b0),
+        jnp.asarray(reserved), jnp.asarray(n_reserved, jnp.int32),
+        support_x, support_y, memory_data, memory_labels,
+        jnp.asarray(memory_count, jnp.int32), query_buf, base_x,
+        jnp.asarray(sem_pullers),
+        jax.random.PRNGKey(opt.set_seed * 31 + idx))
+    (params, opt_state, loss, a1, a5, stable, stop,
+     f_sup, f_mem, f_query, f_base, bstats, counters) = out
+
+    def record(epoch, params):
+        w = np.asarray(params["w"])
+        if getattr(opt, "track_weights", False):
+            for k, lbl in enumerate(vocab_base):
+                track_weight_rows.append(
+                    [idx, "base", lbl, lbl, epoch, w[k].copy()])
+            len_base = len(vocab_base)
+            for k, lbl in enumerate(vocab_novel):
+                track_weight_rows.append(
+                    [idx, "novel", lbl, lbl, epoch, w[len_base + k].copy()])
+        if getattr(opt, "track_label_inspired_weights", False):
+            # the reference's path crashes on an undefined variable
+            # (language_eval.py:329); we record the actual attractors
+            if opt.attraction_override == "distance2subspace":
+                cur = jnp.asarray(w[int(n_active) - geo.n_ways:int(n_active)])
+                insp = np.asarray(lp.projected_weight(
+                    jnp.asarray(w0[: geo.orig_base]), cur))
+            else:
+                insp = np.asarray(sem_pullers)
+            for k, lbl in enumerate(vocab_novel):
+                track_inspired_rows.append([idx, lbl, epoch, insp[k].copy()])
+
+    epoch = 1
+    record(epoch, params)
+    while not bool(stop):
+        params, opt_state, loss, stable, epoch_j, stop, a1, a5 = fns["epoch"](
+            params, opt_state, loss, stable, jnp.asarray(epoch, jnp.int32),
+            f_sup, f_mem, support_y, memory_labels,
+            jnp.asarray(memory_count, jnp.int32),
+            jnp.asarray(w0), jnp.asarray(b0), jnp.asarray(reserved),
+            jnp.asarray(n_reserved, jnp.int32), jnp.asarray(sem_pullers),
+            jnp.asarray(n_active, jnp.int32))
+        epoch = int(epoch_j)
+        record(epoch, params)
+        if getattr(opt, "verbose", False) and epoch % 10 == 0:
+            prt("Novel Epoch {:4d}\tTrain Loss {:10.4f}\t"
+                "Acc@1 {:10.3f}\tAcc@5 {:10.3f}".format(
+                    epoch, float(loss), float(a1), float(a5)))
+
+    chunk_accs, chunk_valid, q_preds, base_acc, b_preds = fns["final_eval"](
+        params, f_query, jnp.asarray(query_y_buf),
+        jnp.asarray(idx + 1, jnp.int32), f_base, base_y,
+        jnp.asarray(n_active, jnp.int32))
+    metrics = {
+        "chunk_accs": chunk_accs, "chunk_valid": chunk_valid,
+        "base_acc": base_acc, "train_loss": loss,
+        "epochs": jnp.asarray(epoch, jnp.int32),
+        "support_acc1": a1, "support_acc5": a5,
+        "query_preds": q_preds, "base_preds": b_preds,
+    }
+    new_b = params["b"] if with_bias else jnp.asarray(head_b)
+    return params["w"], new_b, bstats, counters, metrics
+
+
+def _write_tracking_csvs(opt, track_weight_rows, track_inspired_rows,
+                         prt) -> None:
+    """CSV artifacts with the reference's filenames
+    (language_eval.py:441-446)."""
+    import csv
+
+    def fmt(v):
+        if isinstance(v, np.ndarray):
+            return " ".join(f"{x:.6g}" for x in v.ravel())
+        return v
+
+    suffix = (f"{opt.eval_mode}_pulling_{getattr(opt, 'pulling', None)}_"
+              f"{opt.label_pull}_target_loss_{opt.target_train_loss}_"
+              f"synonyms_{opt.use_synonyms}.csv")
+    if getattr(opt, "track_label_inspired_weights", False):
+        path = f"track_inspired_{suffix}"
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["episode", "label", "fine_tune_epoch",
+                        "inspired_weight"])
+            for row in track_inspired_rows:
+                w.writerow([fmt(v) for v in row])
+        prt("saved", path)
+    if getattr(opt, "track_weights", False):
+        path = f"track_weights_{suffix}"
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["episode", "type", "label", "class",
+                        "fine_tune_epoch", "classifier_weight"])
+            for row in track_weight_rows:
+                w.writerow([fmt(v) for v in row])
+        prt("saved", path)
+
+
 def _resolve_pallas(pallas_mode: str, opt, with_bias: bool):
     """'auto' => fused Pallas loop on TPU for the SGD/no-bias golden path."""
     if pallas_mode == "off":
@@ -284,26 +394,34 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
                        & (epoch >= opt.min_novel_epochs + 1))
         return stable_epochs, stop
 
-    @jax.jit
-    def session_fn(variables, head_w, head_b, n_active,
-                   w0, b0, reserved, n_reserved,
-                   support_x, support_y,
-                   memory_x, memory_y, memory_count,
-                   query_x, query_y, n_query_sessions,
-                   base_x, base_y,
-                   sem_pullers, session_idx, rng):
-        k_sup, k_mem = jax.random.split(rng)
-        memory_mask = (jnp.arange(geo.max_memory) < memory_count
-                       ).astype(jnp.float32)
+    def evaluate(params, f_query, query_y, n_query_sessions, f_base,
+                 base_y, n_active):
+        """Chunked novel + base evaluation (language_eval.py:18-69)."""
+        logits_q = head_logits(params, f_query, n_active)
+        nq = geo.n_query_per_session
+        chunk_accs = []
+        for c in range(geo.max_sessions):
+            lo = c * nq
+            ca1, _ = losses.accuracy_topk(
+                logits_q[lo:lo + nq], query_y[lo:lo + nq])
+            chunk_accs.append(ca1)
+        chunk_accs = jnp.stack(chunk_accs)
+        chunk_valid = (jnp.arange(geo.max_sessions) < n_query_sessions)
+        q_preds = jnp.argmax(logits_q, axis=1)
+        logits_b = head_logits(params, f_base, n_active)
+        base_acc, _ = losses.accuracy_topk(logits_b, base_y)
+        b_preds = jnp.argmax(logits_b, axis=1)
+        return chunk_accs, chunk_valid, q_preds, base_acc, b_preds
 
-        # ---- epoch 1: train-mode forwards (BN batch stats + running-stat
-        # update + dropout), reference order: support then memory
-        # (language_eval.py:252-258) ----
+    def epoch1_forwards(variables, support_x, memory_x, memory_mask,
+                        memory_count, rng):
+        """Train-mode epoch-1 forwards, reference order support->memory
+        (language_eval.py:252-258), then eval-feature caching."""
+        k_sup, k_mem = jax.random.split(rng)
         f_sup_tr, mut = backbone.apply(
             variables, support_x, train=True,
             mutable=["batch_stats", "counters"], rngs={"dropout": k_sup})
         vars1 = {"params": variables["params"], **mut}
-
         if memory_on:
             def fwd_mem(v):
                 f, mut2 = backbone.apply(
@@ -313,13 +431,86 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
                 return f, {"params": v["params"], **mut2}
 
             def skip_mem(v):
-                return jnp.zeros((geo.max_memory, geo.feat_dim)), v
+                return jnp.zeros((memory_x.shape[0], geo.feat_dim)), v
 
             f_mem_tr, vars2 = jax.lax.cond(
                 memory_count > 0, fwd_mem, skip_mem, vars1)
         else:
-            f_mem_tr = jnp.zeros((geo.max_memory, geo.feat_dim))
+            f_mem_tr = jnp.zeros((memory_x.shape[0], geo.feat_dim))
             vars2 = vars1
+        return f_sup_tr, f_mem_tr, vars2
+
+    @jax.jit
+    def prepare_fn(variables, head_w, head_b, n_active,
+                   w0, b0, reserved, n_reserved,
+                   support_x, support_y,
+                   memory_x, memory_y, memory_count,
+                   query_x, base_x, sem_pullers, rng):
+        """Tracked-mode entry: epoch-1 step + feature caching."""
+        memory_mask = (jnp.arange(geo.max_memory) < memory_count
+                       ).astype(jnp.float32)
+        f_sup_tr, f_mem_tr, vars2 = epoch1_forwards(
+            variables, support_x, memory_x, memory_mask, memory_count, rng)
+        loss_fn = make_loss_fn(support_y, memory_y, memory_mask, w0, b0,
+                               reserved, n_reserved, sem_pullers, n_active,
+                               None)
+        params = {"w": head_w}
+        if with_bias:
+            params["b"] = head_b
+        opt_state = tx.init(params)
+        (l1, (a1, a5)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, f_sup_tr, f_mem_tr)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        stable_epochs, stop = stop_update(
+            l1, jnp.asarray(15.0), jnp.asarray(0, jnp.int32),
+            jnp.asarray(1, jnp.int32))
+        f_sup = apply_eval(vars2, support_x)
+        f_mem = apply_eval(vars2, memory_x) if memory_on else f_mem_tr
+        f_query = apply_eval(vars2, query_x)
+        f_base = apply_eval(vars2, base_x)
+        return (params, opt_state, l1, a1, a5, stable_epochs, stop,
+                f_sup, f_mem, f_query, f_base,
+                vars2["batch_stats"], vars2["counters"])
+
+    @jax.jit
+    def epoch_fn(params, opt_state, prev_loss, stable_epochs, epoch,
+                 f_sup, f_mem, support_y, memory_y, memory_count,
+                 w0, b0, reserved, n_reserved, sem_pullers, n_active):
+        """Tracked-mode single fine-tune epoch (language_eval.py:242-318)."""
+        memory_mask = (jnp.arange(geo.max_memory) < memory_count
+                       ).astype(jnp.float32)
+        loss_fn = make_loss_fn(support_y, memory_y, memory_mask, w0, b0,
+                               reserved, n_reserved, sem_pullers, n_active,
+                               None)
+        epoch = epoch + 1
+        (l, (a1, a5)), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, f_sup, f_mem)
+        upd, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        stable_epochs, stop = stop_update(l, prev_loss, stable_epochs, epoch)
+        return params, opt_state, l, stable_epochs, epoch, stop, a1, a5
+
+    @jax.jit
+    def final_eval_fn(params, f_query, query_y, n_query_sessions,
+                      f_base, base_y, n_active):
+        return evaluate(params, f_query, query_y, n_query_sessions,
+                        f_base, base_y, n_active)
+
+    @jax.jit
+    def session_fn(variables, head_w, head_b, n_active,
+                   w0, b0, reserved, n_reserved,
+                   support_x, support_y,
+                   memory_x, memory_y, memory_count,
+                   query_x, query_y, n_query_sessions,
+                   base_x, base_y,
+                   sem_pullers, session_idx, rng):
+        memory_mask = (jnp.arange(geo.max_memory) < memory_count
+                       ).astype(jnp.float32)
+        # ---- epoch 1: train-mode forwards (BN batch stats + running-stat
+        # update + dropout), then eval-feature caching ----
+        f_sup_tr, f_mem_tr, vars2 = epoch1_forwards(
+            variables, support_x, memory_x, memory_mask, memory_count, rng)
 
         loss_fn = make_loss_fn(support_y, memory_y, memory_mask, w0, b0,
                                reserved, n_reserved, sem_pullers, n_active,
@@ -382,21 +573,9 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
                 jax.lax.while_loop(cond, body, carry)
 
         # ---- final evaluation ----
-        logits_q = head_logits(params, f_query, n_active)
-        nq = geo.n_query_per_session
-        chunk_accs = []
-        for c in range(geo.max_sessions):
-            lo = c * nq
-            ca1, _ = losses.accuracy_topk(
-                logits_q[lo:lo + nq], query_y[lo:lo + nq])
-            chunk_accs.append(ca1)
-        chunk_accs = jnp.stack(chunk_accs)
-        chunk_valid = (jnp.arange(geo.max_sessions) < n_query_sessions)
-        q_preds = jnp.argmax(logits_q, axis=1)
-
-        logits_b = head_logits(params, f_base, n_active)
-        base_acc, _ = losses.accuracy_topk(logits_b, base_y)
-        b_preds = jnp.argmax(logits_b, axis=1)
+        chunk_accs, chunk_valid, q_preds, base_acc, b_preds = evaluate(
+            params, f_query, query_y, n_query_sessions, f_base, base_y,
+            n_active)
 
         new_head_w = params["w"]
         new_head_b = params["b"] if with_bias else head_b
@@ -409,7 +588,8 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
         return (new_head_w, new_head_b, vars2["batch_stats"],
                 vars2["counters"], metrics)
 
-    return session_fn
+    return {"session": session_fn, "prepare": prepare_fn,
+            "epoch": epoch_fn, "final_eval": final_eval_fn}
 
 
 def eval_base_fn(backbone):
@@ -508,8 +688,14 @@ def few_shot_finetune_incremental_test(
                                            train_spec)
         base_sup_y = ep.support_y.astype(np.int32)
 
-    session_fn = make_session_fn(backbone, opt, geo, with_bias,
-                                 pallas_mode=pallas_mode)
+    fns = make_session_fn(backbone, opt, geo, with_bias,
+                          pallas_mode=pallas_mode)
+    session_fn = fns["session"]
+    tracked = bool(getattr(opt, "track_weights", False)
+                   or getattr(opt, "track_label_inspired_weights", False)
+                   or getattr(opt, "verbose", False))
+    track_weight_rows: List = []
+    track_inspired_rows: List = []
     base_eval = eval_base_fn(backbone)
 
     # state threaded across sessions
@@ -649,20 +835,29 @@ def few_shot_finetune_incremental_test(
         # ---- the compiled session ----
         run_vars = {"params": params_bb, "batch_stats": batch_stats,
                     "counters": counters}
-        out = session_fn(
-            run_vars, jnp.asarray(head_w),
-            jnp.asarray(head_b), jnp.asarray(n_active, jnp.int32),
-            jnp.asarray(w0), jnp.asarray(b0),
-            jnp.asarray(reserved), jnp.asarray(n_reserved, jnp.int32),
-            support_x, jnp.asarray(support_ys_id),
-            memory_data, memory_labels,
-            jnp.asarray(memory_count, jnp.int32),
-            query_buf, jnp.asarray(query_y_buf),
-            jnp.asarray(idx + 1, jnp.int32),
-            base_x, base_y,
-            jnp.asarray(sem_pullers), jnp.asarray(idx, jnp.int32),
-            jax.random.PRNGKey(opt.set_seed * 31 + idx))
-        new_w, new_b, batch_stats, counters, metrics = out
+        if not tracked:
+            out = session_fn(
+                run_vars, jnp.asarray(head_w),
+                jnp.asarray(head_b), jnp.asarray(n_active, jnp.int32),
+                jnp.asarray(w0), jnp.asarray(b0),
+                jnp.asarray(reserved), jnp.asarray(n_reserved, jnp.int32),
+                support_x, jnp.asarray(support_ys_id),
+                memory_data, memory_labels,
+                jnp.asarray(memory_count, jnp.int32),
+                query_buf, jnp.asarray(query_y_buf),
+                jnp.asarray(idx + 1, jnp.int32),
+                base_x, base_y,
+                jnp.asarray(sem_pullers), jnp.asarray(idx, jnp.int32),
+                jax.random.PRNGKey(opt.set_seed * 31 + idx))
+            new_w, new_b, batch_stats, counters, metrics = out
+        else:
+            new_w, new_b, batch_stats, counters, metrics = _run_tracked(
+                fns, opt, geo, prt, run_vars, head_w, head_b, n_active,
+                w0, b0, reserved, n_reserved, support_x, support_ys_id,
+                memory_data, memory_labels, memory_count, query_buf,
+                query_y_buf, idx, base_x, base_y, sem_pullers, with_bias,
+                vocab_base, vocab_novel,
+                track_weight_rows, track_inspired_rows)
         head_w = np.asarray(new_w)
         if with_bias:
             head_b = np.asarray(new_b)
@@ -754,6 +949,9 @@ def few_shot_finetune_incremental_test(
             f"{'Running Novel Avg:':25} {acc_novel.avg:.4f}\n"
             f"{'Running Average:':25} {(acc_base.avg + acc_novel.avg) / 2:.4f}\n",
             flush=True)
+
+    if tracked:
+        _write_tracking_csvs(opt, track_weight_rows, track_inspired_rows, prt)
 
     prt("Overall continual accuracies: ", weighted_avg_l)
     prt("Novel only incremental: ", acc_novel_list)

@@ -147,6 +147,28 @@ def test_pallas_loop_matches_xla_loop(env):
                                atol=0.75)
 
 
+def test_tracked_mode_matches_and_writes_csvs(env, tmp_path, monkeypatch):
+    """Per-epoch tracked path must reproduce the compiled session results
+    and emit the reference-named CSV artifacts."""
+    ref = _run(env, label_pull=None, attraction_override=None,
+               track_weights=False, max_novel_epochs=12)
+    monkeypatch.chdir(tmp_path)
+    got = _run(env, label_pull=None, attraction_override=None,
+               track_weights=True, max_novel_epochs=12)
+    env["opt"].track_weights = False
+    assert got.epochs_per_session == ref.epochs_per_session
+    np.testing.assert_allclose(got.acc_novel_list, ref.acc_novel_list,
+                               atol=1e-4)
+    np.testing.assert_allclose(got.acc_base_list, ref.acc_base_list,
+                               atol=1e-4)
+    import glob
+    files = glob.glob(str(tmp_path / "track_weights_*.csv"))
+    assert len(files) == 1
+    header = open(files[0]).readline().strip()
+    assert header == ("episode,type,label,class,fine_tune_epoch,"
+                      "classifier_weight")
+
+
 def test_base_regularizer_anchors_base_rows(env):
     """With a huge base-weight anchor the base accuracy must stay at its
     initial level; novel rows still learn."""
