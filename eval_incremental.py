@@ -38,20 +38,28 @@ def main(argv=None):
         print(k, v)
     print("End of arguments.\n")
 
-    if opt.dataset != "miniImageNet":
+    if opt.dataset == "miniImageNet":
+        load = load_mini_imagenet
+    elif opt.dataset in ("CIFAR-FS", "FC100"):
+        # the reference raises here (eval_incremental.py:82-83); we wire the
+        # CIFAR continual protocol end-to-end (SURVEY.md §7 step 8)
+        from subspace_reg_tpu.data.cifar import load_cifar_continual
+        load = load_cifar_continual
+        opt.transform = "D"
+    else:
         raise NotImplementedError(opt.dataset)
 
     # base test samples: base classes, unused-in-training samples
     # (reference eval_incremental.py:53-57)
-    base_test = load_mini_imagenet(opt, split="train", phase="test")
+    base_test = load(opt, split="train", phase="test")
 
     base_support_sampler = None
     if opt.n_base_support_samples > 0:
-        base_train = load_mini_imagenet(opt, split="train", phase="train")
+        base_train = load(opt, split="train", phase="train")
         base_support_sampler = EpisodeSampler(
             base_train, opt, split="train", phase="train")
 
-    novel = load_mini_imagenet(opt, split="val")
+    novel = load(opt, split="val")
     meta_sampler = EpisodeSampler(novel, opt, split="val",
                                   use_episodes=opt.use_episodes,
                                   disjoint_classes=True)

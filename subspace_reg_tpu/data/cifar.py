@@ -13,7 +13,7 @@ from typing import Optional
 
 import numpy as np
 
-from .mini_imagenet import SplitData
+from .mini_imagenet import SplitData, continual_split
 from .pickles import load_pickle_latin1
 
 
@@ -43,3 +43,38 @@ def load_cifar(opt, partition: str = "train") -> SplitData:
 
     return SplitData(imgs=imgs, labels=new_labels, cat2label={},
                      label2human=label2human)
+
+
+def load_cifar_continual(opt, split: str = "train",
+                         phase: Optional[str] = None,
+                         train_per_class: int = 400,
+                         val_per_class: int = 50) -> SplitData:
+    """Multi-session FSCIL protocol on CIFAR-100 — a capability the
+    reference declares but never wires (eval_incremental.py:82-83 raises for
+    CIFAR).  Reuses the miniImageNet continual split semantics (same 60/40
+    class protocol, seeded identically) over an ``all.pickle`` with the
+    standard {'data','labels','catname2label'} schema.  CIFAR-100 has 500
+    train images per class, hence the 400/50/50 default partition."""
+    np.random.seed(opt.set_seed)
+    data = load_pickle_latin1(os.path.join(opt.data_root, "all.pickle"))
+    imgs = data["data"]
+    cat2label = dict(data.get("catname2label", {}))
+    imgs, labels, cat2label, basec_map = continual_split(
+        imgs, data["labels"], cat2label, split, phase,
+        train_per_class, val_per_class)
+
+    n_classes = 100
+    label2human = [""] * n_classes
+    labels_path = os.path.join(opt.data_root, "class_labels.txt")
+    if os.path.exists(labels_path):
+        with open(labels_path, "r") as f:
+            for line in f.readlines():
+                catname, humanname = line.strip().lower().split(" ")
+                humanname = " ".join(humanname.split("_"))
+                if catname in cat2label:
+                    label2human[cat2label[catname]] = humanname
+    else:
+        for k, v in cat2label.items():
+            label2human[v] = str(k).lower().replace("_", " ")
+    return SplitData(imgs=imgs, labels=labels, cat2label=cat2label,
+                     label2human=label2human, basec_map=basec_map)

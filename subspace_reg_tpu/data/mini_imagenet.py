@@ -92,39 +92,54 @@ def load_mini_imagenet(opt, split: str = "train",
     basec_map = None
 
     if opt.continual:
-        all_classes = np.arange(N_TOTAL_CLASSES)
-        np.random.shuffle(all_classes)
-        basec = np.sort(all_classes[:N_BASE_CLASSES])
-        basec_map = dict(zip(basec.tolist(), range(len(basec))))
-        valc = all_classes[N_BASE_CLASSES:]
-
-        if split == "train":
-            base_samples = [i for i, e in enumerate(data["labels"]) if e in basec]
-            np.random.shuffle(base_samples)
-            nbc = len(basec)
-            n_tr, n_val = train_per_class * nbc, val_per_class * nbc
-            parts = {
-                "train": np.array(base_samples[:n_tr]),
-                "val": np.array(base_samples[n_tr:n_tr + n_val]),
-                "test": np.array(base_samples[n_tr + n_val:]),
-            }
-            if phase not in parts:
-                raise ValueError(f"Phase {phase} is unrecognized for split train.")
-            sel = parts[phase]
-            labels = [basec_map[labels[i]] for i in sel]
-            imgs = imgs[sel, :]
-            cat2label = {k: basec_map[v] for k, v in cat2label.items()
-                         if v in basec_map}
-        elif split == "val":
-            valc_set = set(valc.tolist())
-            sel = np.array([i for i, e in enumerate(data["labels"])
-                            if e in valc_set])
-            labels = [labels[i] for i in sel]
-            imgs = imgs[sel, :]
-            cat2label = {k: v for k, v in cat2label.items() if v in valc_set}
-        else:
-            raise ValueError(f"No such split as {split}.")
+        imgs, labels, cat2label, basec_map = continual_split(
+            imgs, data["labels"], cat2label, split, phase,
+            train_per_class, val_per_class)
 
     label2human = _read_label2human(opt.data_root, cat2label)
     return SplitData(imgs=imgs, labels=labels, cat2label=cat2label,
                      label2human=label2human, basec_map=basec_map)
+
+
+def continual_split(imgs, labels, cat2label, split: str, phase: Optional[str],
+                    train_per_class: int, val_per_class: int,
+                    n_total: int = N_TOTAL_CLASSES,
+                    n_base: int = N_BASE_CLASSES):
+    """The multi-session class/sample split with the reference's exact
+    np.random call sequence (dataset/mini_imagenet.py:70-126): assumes
+    np.random was just seeded with set_seed.  Shared by the miniImageNet
+    and (beyond the reference) CIFAR continual protocols."""
+    raw_labels = list(labels)
+    all_classes = np.arange(n_total)
+    np.random.shuffle(all_classes)
+    basec = np.sort(all_classes[:n_base])
+    basec_map = dict(zip(basec.tolist(), range(len(basec))))
+    valc = all_classes[n_base:]
+
+    if split == "train":
+        base_samples = [i for i, e in enumerate(raw_labels) if e in basec]
+        np.random.shuffle(base_samples)
+        nbc = len(basec)
+        n_tr, n_val = train_per_class * nbc, val_per_class * nbc
+        parts = {
+            "train": np.array(base_samples[:n_tr]),
+            "val": np.array(base_samples[n_tr:n_tr + n_val]),
+            "test": np.array(base_samples[n_tr + n_val:]),
+        }
+        if phase not in parts:
+            raise ValueError(f"Phase {phase} is unrecognized for split train.")
+        sel = parts[phase]
+        new_labels = [basec_map[raw_labels[i]] for i in sel]
+        imgs = imgs[sel, :]
+        cat2label = {k: basec_map[v] for k, v in cat2label.items()
+                     if v in basec_map}
+        return imgs, new_labels, cat2label, basec_map
+    if split == "val":
+        valc_set = set(valc.tolist())
+        sel = np.array([i for i, e in enumerate(raw_labels)
+                        if e in valc_set])
+        new_labels = [raw_labels[i] for i in sel]
+        imgs = imgs[sel, :]
+        cat2label = {k: v for k, v in cat2label.items() if v in valc_set}
+        return imgs, new_labels, cat2label, basec_map
+    raise ValueError(f"No such split as {split}.")

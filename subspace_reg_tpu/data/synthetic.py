@@ -34,6 +34,67 @@ def make_mini_imagenet(root: str, n_classes: int = 100, per_class: int = 20,
             f.write(f"{cat} synthetic_{lbl}\n")
 
 
+def make_cifar(root: str, n_classes: int = 100, per_class: int = 20,
+               seed: int = 0, partitions=("train", "val", "test"),
+               sparse_labels: bool = False) -> None:
+    """Per-partition pickles + an all.pickle for the continual protocol
+    (schemas of dataset/cifar.py:52-66)."""
+    os.makedirs(root, exist_ok=True)
+    r = np.random.RandomState(seed)
+    base_colors = r.randint(30, 226, size=(n_classes, 3))
+
+    def blob(classes, per, sparse=False):
+        labels = np.repeat(classes, per)
+        if sparse:
+            labels = labels * 3 + 1   # sparse labels needing remap
+        n = len(labels)
+        imgs = (base_colors[np.repeat(classes, per)][:, None, None, :]
+                + r.randint(-25, 26, size=(n, 32, 32, 3)))
+        return (np.clip(imgs, 0, 255).astype(np.uint8), labels.tolist())
+
+    per_part = max(n_classes // len(partitions), 1)
+    for i, part in enumerate(partitions):
+        classes = np.arange(i * per_part, min((i + 1) * per_part, n_classes))
+        imgs, labels = blob(classes, per_class, sparse=sparse_labels)
+        with open(os.path.join(root, f"{part}.pickle"), "wb") as f:
+            pickle.dump({"data": imgs, "labels": labels}, f)
+
+    # all.pickle (continual protocol) always carries dense 0..n-1 labels
+    imgs, labels = blob(np.arange(n_classes), per_class)
+    cat2label = {f"cifar{i:03d}": i for i in range(n_classes)}
+    with open(os.path.join(root, "all.pickle"), "wb") as f:
+        pickle.dump({"data": imgs, "labels": labels,
+                     "catname2label": cat2label}, f)
+
+
+def make_tiered(root: str, n_classes: int = 20, per_class: int = 12,
+                img_size: int = 16, seed: int = 0,
+                with_train_b: bool = True) -> None:
+    """npz image archives + label pickles (schemas of
+    dataset/tiered_imagenet.py:42-56)."""
+    os.makedirs(root, exist_ok=True)
+    r = np.random.RandomState(seed)
+
+    def write(prefix, classes):
+        labels = np.repeat(classes, per_class)
+        base = r.randint(30, 226, size=(len(classes), 3))
+        imgs = (base[np.repeat(np.arange(len(classes)), per_class)]
+                [:, None, None, :]
+                + r.randint(-25, 26,
+                            size=(len(labels), img_size, img_size, 3)))
+        np.savez(os.path.join(root, f"{prefix}_images.npz"),
+                 images=np.clip(imgs, 0, 255).astype(np.uint8))
+        with open(os.path.join(root, f"{prefix}_labels.pkl"), "wb") as f:
+            pickle.dump({"label_specific": labels % len(classes)}, f)
+
+    for phase in ("train", "val", "test"):
+        write(f"train_a_train_a_phase_{phase}", np.arange(n_classes))
+    if with_train_b:
+        write("train_b", np.arange(n_classes // 2))
+    write("val", np.arange(n_classes // 2))
+    write("test", np.arange(n_classes // 2))
+
+
 def make_word_embeds(path: str, dataset: str = "miniImageNet",
                      dim: int = 500, n_classes: int = 100,
                      seed: int = 1) -> str:

@@ -891,7 +891,9 @@ def few_shot_finetune_incremental_test(
 
         acc_base.update(acc_base_)
         acc_novel.update(test_acc)
-        w1 = 60 if opt.dataset == "miniImageNet" else 200
+        # reference: 60 for mini, 200 for tiered (language_eval.py:383);
+        # CIFAR (not wired in the reference) shares the 60-base protocol
+        w1 = 200 if opt.dataset == "tieredImageNet" else 60
         w2 = len(vocab_base) + len(vocab_novel) - 60
         weighted_avg = (w1 * acc_base_ + w2 * test_acc) / (w1 + w2)
         weighted_avg_l.append(round(weighted_avg, 2))

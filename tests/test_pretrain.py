@@ -52,7 +52,12 @@ def test_train_step_reduces_loss():
 
 def test_eval_step_and_validation():
     backbone, tx, state = _tiny_setup()
-    spec_t, spec_e = transforms_options["A"]
+    # geometry-appropriate crop for 16px test images: the reference 'A'
+    # spec pads 8px (half the test image), which trains on mostly-black
+    # windows and can't generalize to clean eval inputs
+    import dataclasses
+    spec_t = dataclasses.replace(transforms_options["A"][0], padding=2)
+    spec_e = transforms_options["A"][1]
     step = pt.make_train_step(backbone, tx, spec_t, with_bias=False)
     r = np.random.RandomState(1)
     x, y = _class_colored_batch(r, 128)

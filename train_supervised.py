@@ -50,6 +50,19 @@ def main(argv=None):
                                            phase="train")
         val_split = load_tiered_imagenet(opt, partition="train", phase="val")
         n_cls = 448 if opt.use_trainval else 351
+    elif opt.dataset in ("CIFAR-FS", "FC100"):
+        # beyond the reference (train_supervised.py:96-97 raises): CIFAR
+        # continual pretraining on the shared 60/40 split
+        from subspace_reg_tpu.data.cifar import load_cifar, load_cifar_continual
+        if opt.continual:
+            train_split = load_cifar_continual(opt, split="train",
+                                               phase="train")
+            val_split = load_cifar_continual(opt, split="train", phase="val")
+            n_cls = 60
+        else:
+            train_split = load_cifar(opt, partition="train")
+            val_split = load_cifar(opt, partition="val")
+            n_cls = max(train_split.labels) + 1
     else:
         raise NotImplementedError(opt.dataset)
 
