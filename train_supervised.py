@@ -123,6 +123,10 @@ def main(argv=None):
     rng_np = np.random.RandomState(opt.set_seed)
     key = jax.random.PRNGKey(opt.set_seed)
 
+    from subspace_reg_tpu.data.pipeline import PrefetchLoader
+    loader = PrefetchLoader(train_split.imgs, train_labels,
+                            opt.batch_size, rng_np)
+
     def save(epoch, final=False):
         meta = {}
         if opt.continual:
@@ -151,19 +155,15 @@ def main(argv=None):
             t0 = time.time()
             lm, a1m, a5m = AverageMeter(), AverageMeter(), AverageMeter()
             n_img = 0
-            for bi, idxs in enumerate(pt.epoch_batches(
-                    rng_np, n_train, opt.batch_size)):
-                import jax.numpy as jnp
-                x = jnp.asarray(train_split.imgs[idxs])
-                y = jnp.asarray(train_labels[idxs])
+            for bi, (x, y) in enumerate(loader.epoch()):
                 if mesh is not None:
                     x, y = mesh_lib.shard_batch(mesh, x, y)
                 state, m = train_step(state, x, y, key)
-                n_img += len(idxs)
+                n_img += int(x.shape[0])
                 if bi % opt.print_freq == 0:
-                    lm.update(float(m["loss"]), len(idxs))
-                    a1m.update(float(m["acc1"]), len(idxs))
-                    a5m.update(float(m["acc5"]), len(idxs))
+                    lm.update(float(m["loss"]), int(x.shape[0]))
+                    a1m.update(float(m["acc1"]), int(x.shape[0]))
+                    a5m.update(float(m["acc5"]), int(x.shape[0]))
                     print(f"Epoch: [{epoch}][{bi}/{steps_per_epoch}]\t"
                           f"Loss {lm.val:.4f} ({lm.avg:.4f})\t"
                           f"Acc@1 {a1m.val:.3f} ({a1m.avg:.3f})\t"
