@@ -68,18 +68,25 @@ def main():
     except Exception:
         pass
 
-    # warmup (compile) + timed steps
-    for _ in range(3):
-        state, m = step(state, x, y, key)
-    jax.block_until_ready(m["loss"])
-    n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, m = step(state, x, y, key)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    # warmup (compile) + timed steps.  The TPU sits behind an async relay
+    # whose block_until_ready can acknowledge early and whose RTT is tens of
+    # ms, so we time two chain lengths with a forced scalar host pull and
+    # take the slope — fixed tunnel overhead cancels.
+    def run_chain(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = step(state, x, y, key)
+        _ = float(m["loss"])          # host pull forces real completion
+        return time.perf_counter() - t0
 
-    ips = batch * n_steps / dt
+    run_chain(3)                      # compile + warm
+    n1, n2 = 10, 40
+    t1 = run_chain(n1)
+    t2 = run_chain(n2)
+    dt = max(t2 - t1, 1e-6) / (n2 - n1)
+
+    ips = batch / dt
 
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
     peak = _PEAK_BF16.get(gen, 197e12)

@@ -76,14 +76,17 @@ class TorchBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32))
 
         in_dtype = x.dtype
-        x = x.astype(jnp.float32)  # statistics always in f32 (bf16-safe)
+        if in_dtype == jnp.float32:
+            x_stats = x
+        else:
+            x_stats = x.astype(jnp.float32)  # statistics always in f32
 
         if train:
             axes = tuple(range(x.ndim - 1))
             if sample_mask is None:
-                mean = jnp.mean(x, axes)
+                mean = jnp.mean(x_stats, axes)
                 # biased variance for normalization (torch train mode)
-                var = jnp.mean(jnp.square(x), axes) - jnp.square(mean)
+                var = jnp.mean(jnp.square(x_stats), axes) - jnp.square(mean)
                 n = jnp.asarray(x.size // self.features, jnp.float32)
             else:
                 # masked stats: padded batch rows (e.g. the replay-memory
@@ -92,8 +95,9 @@ class TorchBatchNorm(nn.Module):
                 m = sample_mask.reshape((-1,) + (1,) * (x.ndim - 1))
                 per_sample = x.size // (self.features * x.shape[0])
                 n = jnp.sum(sample_mask) * per_sample
-                mean = jnp.sum(x * m, axes) / n
-                var = jnp.sum(jnp.square(x) * m, axes) / n - jnp.square(mean)
+                mean = jnp.sum(x_stats * m, axes) / n
+                var = (jnp.sum(jnp.square(x_stats) * m, axes) / n
+                       - jnp.square(mean))
             var = jnp.maximum(var, 0.0)
             if not self.is_initializing():
                 unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
@@ -104,7 +108,14 @@ class TorchBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.eps)
-        return ((x - mean) * (inv * scale) + bias).astype(in_dtype)
+        if in_dtype == jnp.float32:
+            return (x - mean) * (inv * scale) + bias
+        # bf16 fast path: fold into one scale/shift applied in the compute
+        # dtype — keeps the conv->BN->activation chain out of f32 and lets
+        # XLA fuse it into the conv epilogue
+        a = (inv * scale).astype(in_dtype)
+        b = (bias - mean * inv * scale).astype(in_dtype)
+        return x * a + b
 
 
 class DropBlock(nn.Module):
