@@ -18,7 +18,12 @@ from ..models.head import Head
 
 
 def save_checkpoint(path: str, variables: Dict[str, Any], head: Head,
-                    meta: Optional[Dict[str, Any]] = None) -> None:
+                    meta: Optional[Dict[str, Any]] = None,
+                    extra: Optional[Any] = None) -> None:
+    """``extra`` may carry any additional array pytree (e.g. optimizer state
+    + step for mid-run resume — a capability the reference lacks: it saves
+    model weights only, train_supervised.py:180-202, and its --reload_path
+    flag is declared but never consumed, configs.py:149)."""
     payload = {
         "variables": jax.tree_util.tree_map(np.asarray, variables),
         "head": {
@@ -28,20 +33,25 @@ def save_checkpoint(path: str, variables: Dict[str, Any], head: Head,
         },
         "meta": meta or {},
     }
-    blob = serialization.msgpack_serialize(
-        {"variables": payload["variables"],
-         "head_weight": payload["head"]["weight"],
-         "head_bias": (payload["head"]["bias"]
-                       if payload["head"]["bias"] is not None
-                       else np.zeros((0,), np.float32)),
-         "head_n_active": np.asarray(payload["head"]["n_active"])})
+    blob_tree = {
+        "variables": payload["variables"],
+        "head_weight": payload["head"]["weight"],
+        "head_bias": (payload["head"]["bias"]
+                      if payload["head"]["bias"] is not None
+                      else np.zeros((0,), np.float32)),
+        "head_n_active": np.asarray(payload["head"]["n_active"]),
+    }
+    if extra is not None:
+        blob_tree["extra"] = serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, extra))
+    blob = serialization.msgpack_serialize(blob_tree)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump({"msgpack": blob, "meta": payload["meta"],
                      "has_bias": head.bias is not None}, f)
 
 
-def load_checkpoint(path: str):
+def load_checkpoint(path: str, extra_template: Optional[Any] = None):
     with open(path, "rb") as f:
         raw = pickle.load(f)
     tree = serialization.msgpack_restore(raw["msgpack"])
@@ -49,7 +59,14 @@ def load_checkpoint(path: str):
     bias = jnp.asarray(tree["head_bias"]) if raw["has_bias"] else None
     head = Head(weight=jnp.asarray(tree["head_weight"]), bias=bias,
                 n_active=jnp.asarray(int(tree["head_n_active"]), jnp.int32))
-    return variables, head, raw["meta"]
+    meta = dict(raw["meta"])
+    if "extra" in tree:
+        if extra_template is not None:
+            meta["extra"] = serialization.from_state_dict(
+                extra_template, tree["extra"])
+        else:
+            meta["extra"] = tree["extra"]
+    return variables, head, meta
 
 
 def load_any(path: str, max_classes: Optional[int] = None):

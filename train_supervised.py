@@ -106,6 +106,29 @@ def main(argv=None):
         backbone, jax.random.PRNGKey(opt.set_seed), n_cls, img_size, tx,
         with_bias=opt.linear_bias)
 
+    # mid-run resume (--reload_path): restores params, BN stats, optimizer
+    # state and the epoch counter — a capability the reference declares but
+    # never implements (configs.py:149)
+    start_epoch = 1
+    if opt.reload_path:
+        from subspace_reg_tpu.utils.checkpoint import load_checkpoint
+        variables_r, head_r, meta_r = load_checkpoint(
+            opt.reload_path,
+            extra_template={"opt_state": state.opt_state,
+                            "step": state.step})
+        params = {"backbone": variables_r["params"],
+                  "head": {"w": head_r.weight[:n_cls]}}
+        if opt.linear_bias:
+            params["head"]["b"] = head_r.bias[:n_cls]
+        state = state.replace(
+            params=params, batch_stats=variables_r["batch_stats"],
+            counters=variables_r.get("counters", state.counters))
+        if "extra" in meta_r:
+            state = state.replace(opt_state=meta_r["extra"]["opt_state"],
+                                  step=meta_r["extra"]["step"])
+        start_epoch = int(meta_r.get("epoch", 0)) + 1
+        print(f"==> resumed from {opt.reload_path} at epoch {start_epoch}")
+
     # ---- mesh (data parallel over all local devices) --------------------
     mesh = mesh_lib.create_mesh() if jax.device_count() > 1 else None
     if mesh is not None:
@@ -145,11 +168,13 @@ def main(argv=None):
         name = (f"{opt.model}_last.ckpt" if final
                 else f"ckpt_epoch_{epoch}.ckpt")
         save_checkpoint(os.path.join(opt.save_folder, name),
-                        variables, head, meta)
+                        variables, head, meta,
+                        extra={"opt_state": state.opt_state,
+                               "step": state.step})
         print("==> Saved", name)
 
     # ---- training loop (train_supervised.py:156-202) --------------------
-    for epoch in range(1, opt.epochs + 1):
+    for epoch in range(start_epoch, opt.epochs + 1):
         if not opt.eval_only:
             print("==> training...")
             t0 = time.time()
