@@ -555,17 +555,29 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
                 stable_mode, pallas_interpret)
         else:
             def cond(c):
-                return ~c[5]
+                # under vmap this becomes "any lane still running"
+                return jnp.any(~c[5])
 
             def body(c):
-                p, s, prev_loss, st_ep, epoch, _, _, _ = c
-                epoch = epoch + 1
+                p0, s0, prev_loss, st_ep0, epoch0, stopped, a1_0, a5_0 = c
+                epoch = epoch0 + 1
                 (l, (acc1, acc5)), g = jax.value_and_grad(
-                    loss_fn, has_aux=True)(p, f_sup, f_mem)
-                upd, s = tx.update(g, s, p)
-                p = optax.apply_updates(p, upd)
-                st_ep, stp = stop_update(l, prev_loss, st_ep, epoch)
-                return (p, s, l, st_ep, epoch, stp, acc1, acc5)
+                    loss_fn, has_aux=True)(p0, f_sup, f_mem)
+                upd, s = tx.update(g, s0, p0)
+                p = optax.apply_updates(p0, upd)
+                st_ep, stp = stop_update(l, prev_loss, st_ep0, epoch)
+                # freeze already-stopped lanes (no-op when unbatched: the
+                # loop exits as soon as stop flips; required for vmapped
+                # multi-seed execution where lanes stop at different epochs)
+                keep = lambda new, old: jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(stopped, o, n), new, old)
+                return (keep(p, p0), keep(s, s0),
+                        jnp.where(stopped, prev_loss, l),
+                        jnp.where(stopped, st_ep0, st_ep),
+                        jnp.where(stopped, epoch0, epoch),
+                        stopped | stp,
+                        jnp.where(stopped, a1_0, acc1),
+                        jnp.where(stopped, a5_0, acc5))
 
             carry = (params, opt_state, l1, stable_epochs,
                      jnp.asarray(1, jnp.int32), stop, a1, a5)

@@ -1,0 +1,297 @@
+"""Vmapped multi-seed FSCIL evaluation — one chip replaces the reference's
+Slurm seed array (scripts/continual/slurm_*.sh:8,19-27: 10 single-GPU jobs).
+
+The compiled session program (engine/incremental.py) is already shape-static
+across seeds, so a ``jax.vmap`` over the seed axis batches the ENTIRE
+incremental phase: per-seed backbones (different pretrained weights), padded
+heads, query/memory buffers, base batches and attractors all gain a leading
+seed dimension; the fine-tune while_loop freezes lanes that converge early
+(stop-masked updates).  Host-side episode composition runs per seed with
+the reference's exact per-process np.random stream semantics (each seed's
+episode draw is immediately followed by its replay-memory index draw,
+mirroring the stand-alone engine's stream pairing).
+
+The fused Pallas loop does not vmap; this path uses the XLA while_loop.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MAX_SESSIONS
+from ..data.episodes import EpisodeSampler, get_vocabs
+from ..data.transforms import transforms_test_options
+from ..models import head as head_lib
+from ..models import lang_puller as lp
+from ..ops import augment as aug_ops
+from .incremental import (IncrementalResult, _Meter, build_geometry,
+                          eval_base_fn, make_session_fn)
+
+
+@dataclass
+class MultiSeedResult:
+    per_seed: List[IncrementalResult]
+    seeds: List[int]
+
+    @property
+    def novel_mean(self):
+        return float(np.mean([r.acc_novel_avg for r in self.per_seed]))
+
+    @property
+    def base_mean(self):
+        return float(np.mean([r.acc_base_avg for r in self.per_seed]))
+
+
+def few_shot_finetune_multiseed(
+        backbone, per_seed_variables: Sequence[Dict[str, Any]],
+        per_seed_heads, per_seed_meta: Sequence[Dict[str, Any]],
+        opts: Sequence, per_seed_samplers: Sequence[EpisodeSampler],
+        per_seed_base_test, per_seed_base_support=None,
+        verbose: bool = False) -> MultiSeedResult:
+    """Run the multi-session protocol for S seeds simultaneously.
+
+    ``opts`` differ only in ``set_seed``; all static hyperparameters must
+    match (one compiled program).  Each list argument has length S.
+    """
+    S = len(opts)
+    opt0 = opts[0]
+    prt = print if verbose else (lambda *a, **k: None)
+
+    train_spec, test_spec = transforms_test_options[opt0.transform]
+    img_size = per_seed_base_test[0].imgs.shape[1]
+    base_eval_n = opt0.test_base_batch_size // 2
+    head0 = per_seed_heads[0]
+    geo = build_geometry(opt0, n_base=int(head0.n_active),
+                         img_size=img_size, base_eval_n=base_eval_n,
+                         feat_dim=int(head0.in_dim))
+    with_bias = head0.bias is not None
+    assert not with_bias, "multiseed path targets the no-bias golden config"
+
+    fns = make_session_fn(backbone, opt0, geo, with_bias, pallas_mode="off")
+    vsession = jax.jit(jax.vmap(
+        fns["session"],
+        in_axes=(0, 0, 0, None, 0, 0, 0, None, 0, 0, 0, 0, None,
+                 0, 0, None, 0, 0, 0, None, 0)))
+
+    # per-seed RNG streams mirror the reference's per-process global stream
+    streams = []
+    for opt in opts:
+        np.random.seed(opt.set_seed)
+        streams.append(np.random.get_state())
+
+    # stacked state
+    def stack_vars(vs):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *vs)
+
+    variables = stack_vars(list(per_seed_variables))
+    head_w = np.stack([np.asarray(h.weight, np.float32)
+                       for h in per_seed_heads])
+    n_active = int(head0.n_active)
+    w0 = head_w.copy()
+    b0 = np.zeros((S, geo.max_classes), np.float32)
+
+    base_x, base_y, base_sup_x, base_sup_y = [], [], [], []
+    for s_i, (opt, bt) in enumerate(zip(opts, per_seed_base_test)):
+        min_lbl = min(bt.labels)
+        base_x.append(np.asarray(aug_ops.normalize_batch(
+            jnp.asarray(bt.imgs[:base_eval_n]), test_spec)))
+        base_y.append(np.asarray(
+            [l - min_lbl for l in bt.labels[:base_eval_n]], np.int32))
+        if per_seed_base_support is not None:
+            ep = per_seed_base_support[s_i].get(0)
+            key = jax.random.PRNGKey(opt.set_seed * 7919 + 17)
+            base_sup_x.append(np.asarray(aug_ops.augment_batch(
+                key, jnp.asarray(ep.support_x), train_spec)))
+            base_sup_y.append(ep.support_y.astype(np.int32))
+    base_x = jnp.asarray(np.stack(base_x))
+    base_y = jnp.asarray(np.stack(base_y))
+
+    reserved = np.zeros((S, geo.max_novel, geo.feat_dim), np.float32)
+    n_reserved = 0
+    memory_data = jnp.zeros((S, geo.max_memory, img_size, img_size, 3),
+                            jnp.float32)
+    memory_labels = np.zeros((S, geo.max_memory), np.int32)
+    memory_count = 0
+    query_buf = jnp.zeros((S, geo.max_queries, img_size, img_size, 3),
+                          jnp.float32)
+    query_y_buf = np.zeros((S, geo.max_queries), np.int32)
+
+    meters = [( _Meter(), _Meter()) for _ in range(S)]
+    weighted = [[] for _ in range(S)]
+    novel_l = [[] for _ in range(S)]
+    base_l = [[] for _ in range(S)]
+    traces = [[] for _ in range(S)]
+    epochs_l = [[] for _ in range(S)]
+    secs = [[] for _ in range(S)]
+    vocab_base = [None] * S
+    vocab_novel = [None] * S
+    lang_state = [None] * S
+
+    # initial base accuracy per seed (language_eval.py:128-129)
+    bev = jax.vmap(eval_base_fn(backbone),
+                   in_axes=(0, 0, None, None, 0, 0))
+    init_base = np.asarray(bev(variables, jnp.asarray(head_w), None,
+                               n_active, base_x, base_y))
+    for s_i in range(S):
+        weighted[s_i].append(float(init_base[s_i]))
+
+    iter_num = MAX_SESSIONS if opt0.continual else opt0.neval_episodes
+
+    for idx in range(iter_num):
+        t0 = time.time()
+        sup_stack, supy_stack, sem_stack = [], [], []
+        mem_inds = []
+        for s_i, opt in enumerate(opts):
+            np.random.set_state(streams[s_i])
+            sampler = per_seed_samplers[s_i]
+            ep = sampler.get(idx)
+
+            if idx > 0:
+                pvb, pvn = vocab_base[s_i], vocab_novel[s_i]
+            vb, _, vn, orig2id = get_vocabs(
+                per_seed_base_test[s_i], sampler.base, ep.query_y)
+            vocab_base[s_i] = (pvb + pvn) if idx > 0 else vb
+            vocab_novel[s_i] = vn
+
+            if idx >= 1:
+                lo = geo.orig_base + geo.n_ways * (idx - 1)
+                reserved[s_i, geo.n_ways * (idx - 1): geo.n_ways * idx] = \
+                    head_w[s_i, lo: lo + geo.n_ways]
+
+            for k in list(orig2id.keys()):
+                orig2id[k] = orig2id[k] + idx * opt.n_ways
+            q_ids = np.asarray([orig2id[int(y)] for y in ep.query_y],
+                               np.int32)
+            s_ids = np.asarray([orig2id[int(y)] for y in ep.support_y],
+                               np.int32)
+
+            k_aug = jax.random.PRNGKey(opt.set_seed * 100003 + idx)
+            sx = np.asarray(aug_ops.augment_batch(
+                k_aug, jnp.asarray(ep.support_x), train_spec))
+            qx = np.asarray(aug_ops.normalize_batch(
+                jnp.asarray(ep.query_x), test_spec))
+            nq = geo.n_query_per_session
+            query_buf = query_buf.at[s_i, idx * nq:(idx + 1) * nq].set(qx)
+            query_y_buf[s_i, idx * nq:(idx + 1) * nq] = q_ids
+            if per_seed_base_support is not None:
+                sx = np.concatenate([sx, base_sup_x[s_i]], 0)
+                s_ids = np.concatenate([s_ids, base_sup_y[s_i]])
+            sup_stack.append(sx)
+            supy_stack.append(s_ids)
+
+            # the replay-index draw continues this seed's stream
+            # (language_eval.py:352-359)
+            if opt.memory_replay:
+                inds = np.random.choice(opt.n_shots, opt.memory_replay)
+                margin = 5 * np.arange(5)
+                offset = np.arange(0, 125, 25)
+                inds = (np.tile(margin + inds, (5, 1))
+                        + (np.tile(offset, (5, 1))).T).flatten()
+                mem_inds.append(inds)
+            streams[s_i] = np.random.get_state()
+
+            # semantic attractors per seed
+            sem = np.zeros((geo.n_ways, geo.feat_dim), np.float32)
+            if (opt.label_pull is not None
+                    and getattr(opt, "pulling", "regularize") == "regularize"
+                    and opt.attraction_override != "distance2subspace"):
+                if idx == 0:
+                    lang_state[s_i] = lp.create_lang_puller(
+                        opt, vocab_base[s_i], vn)
+                else:
+                    lang_state[s_i] = lp.update_novel_embeds(
+                        lang_state[s_i], opt, vn)
+                if opt.attraction_override == "mapping_linear_label2image":
+                    m = per_seed_meta[s_i]["mapping_linear_label2image"]
+                    lang_state[s_i] = lp.with_mapping(
+                        lang_state[s_i], m["weight"], m["bias"])
+                sem = np.asarray(lp.pullers(
+                    lang_state[s_i],
+                    jnp.asarray(w0[s_i, : geo.orig_base])))
+            sem_stack.append(sem)
+
+        if idx >= 1:
+            n_reserved = geo.n_ways * idx
+
+        # grow heads (vmapped augment)
+        grow_keys = jnp.stack([jax.random.PRNGKey(o.set_seed * 61 + 1000 + idx)
+                               for o in opts])
+        heads = head_lib.Head(
+            weight=jnp.asarray(head_w), bias=None,
+            n_active=jnp.full((S,), n_active, jnp.int32))
+        grown = jax.vmap(lambda h, k: head_lib.augment(h, k, geo.n_ways))(
+            heads, grow_keys)
+        head_w = np.asarray(grown.weight)
+        n_active += geo.n_ways
+
+        out = vsession(
+            variables, jnp.asarray(head_w),
+            jnp.asarray(b0), jnp.asarray(n_active, jnp.int32),
+            jnp.asarray(w0), jnp.asarray(b0),
+            jnp.asarray(reserved), jnp.asarray(n_reserved, jnp.int32),
+            jnp.asarray(np.stack(sup_stack)),
+            jnp.asarray(np.stack(supy_stack)),
+            memory_data, jnp.asarray(memory_labels),
+            jnp.asarray(memory_count, jnp.int32),
+            query_buf, jnp.asarray(query_y_buf),
+            jnp.asarray(idx + 1, jnp.int32),
+            base_x, base_y,
+            jnp.asarray(np.stack(sem_stack)),
+            jnp.asarray(idx, jnp.int32),
+            jnp.stack([jax.random.PRNGKey(o.set_seed * 31 + idx)
+                       for o in opts]))
+        new_w, _, new_stats, new_counters, metrics = out
+        head_w = np.asarray(new_w)
+        variables = {"params": variables["params"],
+                     "batch_stats": new_stats, "counters": new_counters}
+
+        if opt0.memory_replay:
+            sup_np = np.stack(sup_stack)
+            for s_i, inds in enumerate(mem_inds):
+                memory_data = memory_data.at[
+                    s_i, memory_count:memory_count + len(inds)].set(
+                        jnp.asarray(sup_np[s_i][inds]))
+                memory_labels[s_i, memory_count:memory_count + len(inds)] = \
+                    supy_stack[s_i][inds]
+            memory_count += len(mem_inds[0])
+
+        chunk_accs = np.asarray(metrics["chunk_accs"])
+        chunk_valid = np.asarray(metrics["chunk_valid"])
+        base_accs = np.asarray(metrics["base_acc"])
+        epochs_run = np.asarray(metrics["epochs"])
+        dt = time.time() - t0
+        for s_i, opt in enumerate(opts):
+            trace = [round(float(a), 2)
+                     for a in chunk_accs[s_i][chunk_valid[s_i]]]
+            test_acc = float(np.array(trace).mean())
+            acc_b = float(base_accs[s_i])
+            meters[s_i][1].update(test_acc)
+            meters[s_i][0].update(acc_b)
+            w1 = 200 if opt.dataset == "tieredImageNet" else 60
+            w2 = geo.n_ways * (idx + 1)
+            weighted[s_i].append(
+                round((w1 * acc_b + w2 * test_acc) / (w1 + w2), 2))
+            novel_l[s_i].append(round(test_acc, 2))
+            base_l[s_i].append(round(acc_b, 2))
+            traces[s_i].append(trace)
+            epochs_l[s_i].append(int(epochs_run[s_i]))
+            secs[s_i].append(dt / S)
+        prt(f"session {idx}: novel {[n[-1] for n in novel_l]} "
+            f"base {[b[-1] for b in base_l]}")
+
+    results = [
+        IncrementalResult(
+            acc_novel_avg=meters[s_i][1].avg, acc_base_avg=meters[s_i][0].avg,
+            weighted_avg_l=weighted[s_i], acc_novel_list=novel_l[s_i],
+            acc_base_list=base_l[s_i], novel_session_traces=traces[s_i],
+            epochs_per_session=epochs_l[s_i], session_seconds=secs[s_i])
+        for s_i in range(S)
+    ]
+    return MultiSeedResult(per_seed=results,
+                           seeds=[o.set_seed for o in opts])

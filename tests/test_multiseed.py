@@ -1,0 +1,97 @@
+"""Vmapped multi-seed engine must reproduce independent single-seed runs."""
+
+import copy
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from subspace_reg_tpu.data import synthetic
+from subspace_reg_tpu.data.episodes import EpisodeSampler
+from subspace_reg_tpu.data.mini_imagenet import load_mini_imagenet
+from subspace_reg_tpu.engine.incremental import few_shot_finetune_incremental_test
+from subspace_reg_tpu.engine.multiseed import few_shot_finetune_multiseed
+from subspace_reg_tpu.models import head as head_lib
+from subspace_reg_tpu.models.resnet import ResNetRFS
+
+from test_engine_e2e import Opt
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mini_ms"))
+    synthetic.make_mini_imagenet(root, n_classes=100, per_class=20,
+                                 img_size=16, seed=0)
+    backbone = ResNetRFS(n_blocks=(1, 1, 1, 1), drop_rate=0.1,
+                         no_dropblock=True, avg_pool=True,
+                         widths=(8, 16, 24, 32))
+    return dict(root=root, backbone=backbone)
+
+
+def _make_opt(root, seed):
+    o = Opt()
+    o.data_root = root
+    o.set_seed = seed
+    o.label_pull = None
+    o.attraction_override = None
+    o.max_novel_epochs = 15
+    return o
+
+
+def _seed_inputs(env, seed, var_seed):
+    opt = _make_opt(env["root"], seed)
+    base_test = load_mini_imagenet(opt, split="train", phase="test",
+                                   train_per_class=10, val_per_class=2)
+    base_train = load_mini_imagenet(opt, split="train", phase="train",
+                                    train_per_class=10, val_per_class=2)
+    novel = load_mini_imagenet(opt, split="val")
+    variables = dict(env["backbone"].init(
+        jax.random.PRNGKey(var_seed), jnp.zeros((2, 16, 16, 3)), train=False))
+    head = head_lib.init_head(jax.random.PRNGKey(var_seed + 50), 60,
+                              in_dim=32, with_bias=False, max_classes=100)
+    meta_sampler = EpisodeSampler(novel, opt, split="val",
+                                  disjoint_classes=True)
+    base_support = EpisodeSampler(base_train, opt, split="train",
+                                  phase="train")
+    return dict(opt=opt, base_test=base_test, variables=variables,
+                head=head, meta_sampler=meta_sampler,
+                base_support=base_support)
+
+
+def test_multiseed_matches_single_seed_runs(env):
+    seeds = [3, 6]
+    inputs = [_seed_inputs(env, s, 100 + i) for i, s in enumerate(seeds)]
+
+    singles = []
+    for inp in inputs:
+        # fresh samplers (disjoint mode mutates state)
+        fresh = _seed_inputs(env, inp["opt"].set_seed,
+                             100 + inputs.index(inp))
+        singles.append(few_shot_finetune_incremental_test(
+            env["backbone"], fresh["variables"], fresh["head"], {},
+            fresh["opt"], meta_sampler=fresh["meta_sampler"],
+            base_test_split=fresh["base_test"],
+            base_support_sampler=fresh["base_support"], verbose=False,
+            pallas_mode="off"))
+
+    ms = few_shot_finetune_multiseed(
+        env["backbone"],
+        [inp["variables"] for inp in inputs],
+        [inp["head"] for inp in inputs],
+        [{} for _ in inputs],
+        [inp["opt"] for inp in inputs],
+        [inp["meta_sampler"] for inp in inputs],
+        [inp["base_test"] for inp in inputs],
+        [inp["base_support"] for inp in inputs])
+
+    assert ms.seeds == seeds
+    for got, want in zip(ms.per_seed, singles):
+        assert got.epochs_per_session == want.epochs_per_session
+        np.testing.assert_allclose(got.acc_novel_list, want.acc_novel_list,
+                                   atol=0.02)
+        np.testing.assert_allclose(got.acc_base_list, want.acc_base_list,
+                                   atol=0.02)
+        np.testing.assert_allclose(got.weighted_avg_l, want.weighted_avg_l,
+                                   atol=0.05)

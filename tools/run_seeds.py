@@ -22,6 +22,60 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _run_vmapped(args, rest):
+    """All seeds in one vmapped engine execution (engine/multiseed.py)."""
+    from subspace_reg_tpu.config import parse_option_eval, MAX_SESSIONS
+    from subspace_reg_tpu.data.episodes import EpisodeSampler
+    from subspace_reg_tpu.data.mini_imagenet import load_mini_imagenet
+    from subspace_reg_tpu.engine.multiseed import few_shot_finetune_multiseed
+    from subspace_reg_tpu.models.factory import create_model
+    from subspace_reg_tpu.utils.checkpoint import load_any
+
+    opts, variables_l, heads, metas = [], [], [], []
+    samplers, base_tests, base_supports = [], [], []
+    backbone = None
+    for seed in args.seeds:
+        argv = rest + ["--set_seed", str(seed)]
+        if args.model_path_pattern:
+            argv += ["--model_path",
+                     args.model_path_pattern.format(seed=seed)]
+        opt = parse_option_eval(argv)
+        n_cls = 80 if opt.use_trainval else 60
+        max_classes = n_cls + MAX_SESSIONS * opt.n_ways
+        variables, head, meta = load_any(opt.model_path,
+                                         max_classes=max_classes)
+        if backbone is None:
+            backbone = create_model(opt.model, n_cls, opt,
+                                    dataset=opt.dataset)
+        if "counters" not in variables:
+            import jax
+            import jax.numpy as jnp
+            init_vars = backbone.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 84, 84, 3)),
+                train=False)
+            variables = dict(variables)
+            variables["counters"] = init_vars["counters"]
+        base_test = load_mini_imagenet(opt, split="train", phase="test")
+        base_train = load_mini_imagenet(opt, split="train", phase="train")
+        novel = load_mini_imagenet(opt, split="val")
+        opts.append(opt)
+        variables_l.append(variables)
+        heads.append(head)
+        metas.append(meta)
+        base_tests.append(base_test)
+        samplers.append(EpisodeSampler(novel, opt, split="val",
+                                       disjoint_classes=True))
+        base_supports.append(
+            EpisodeSampler(base_train, opt, split="train", phase="train")
+            if opt.n_base_support_samples > 0 else None)
+    if any(b is None for b in base_supports):
+        base_supports = None
+    ms = few_shot_finetune_multiseed(
+        backbone, variables_l, heads, metas, opts, samplers, base_tests,
+        per_seed_base_support=base_supports, verbose=True)
+    return ms.per_seed
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if "--" in argv:
@@ -34,21 +88,29 @@ def main(argv=None):
                    default=list(range(1, 11)))
     p.add_argument("--model_path_pattern", type=str, default=None,
                    help="optional per-seed checkpoint pattern with {seed}")
+    p.add_argument("--vmap", action="store_true",
+                   help="batch all seeds through one vmapped engine run")
     args = p.parse_args(own)
 
-    import eval_incremental
-
     novel_all, base_all, weighted_all = [], [], []
-    for seed in args.seeds:
-        seed_argv = rest + ["--set_seed", str(seed)]
-        if args.model_path_pattern:
-            seed_argv += ["--model_path",
-                          args.model_path_pattern.format(seed=seed)]
-        print(f"===== seed {seed} =====")
-        res = eval_incremental.main(seed_argv)
-        novel_all.append(res.acc_novel_avg)
-        base_all.append(res.acc_base_avg)
-        weighted_all.append(res.weighted_avg_l)
+    if args.vmap:
+        results = _run_vmapped(args, rest)
+        for res in results:
+            novel_all.append(res.acc_novel_avg)
+            base_all.append(res.acc_base_avg)
+            weighted_all.append(res.weighted_avg_l)
+    else:
+        import eval_incremental
+        for seed in args.seeds:
+            seed_argv = rest + ["--set_seed", str(seed)]
+            if args.model_path_pattern:
+                seed_argv += ["--model_path",
+                              args.model_path_pattern.format(seed=seed)]
+            print(f"===== seed {seed} =====")
+            res = eval_incremental.main(seed_argv)
+            novel_all.append(res.acc_novel_avg)
+            base_all.append(res.acc_base_avg)
+            weighted_all.append(res.weighted_avg_l)
 
     from subspace_reg_tpu.utils.artifacts import mean_confidence_interval
     out = {"seeds": args.seeds}
