@@ -49,12 +49,24 @@ def main():
     state = pt.init_pretrain_state(backbone, jax.random.PRNGKey(0),
                                    n_cls, img, tx, with_bias=False)
     train_spec, _ = transforms_options["A"]
-    step = pt.make_train_step(backbone, tx, train_spec, with_bias=False)
+    # the production pipeline: dataset resident in HBM, per-step on-device
+    # batch gather + fused augmentation + bf16 fwd/bwd + torch-SGD
+    step_dd = pt.make_train_step_device_data(backbone, tx, train_spec,
+                                             with_bias=False)
 
     r = np.random.RandomState(0)
-    x = jnp.asarray(r.randint(0, 256, size=(batch, img, img, 3)), jnp.uint8)
-    y = jnp.asarray(r.randint(0, n_cls, size=(batch,)), jnp.int32)
+    n_data = 10000
+    data = jax.device_put(
+        r.randint(0, 256, size=(n_data, img, img, 3)).astype(np.uint8))
+    labels = jax.device_put(
+        r.randint(0, n_cls, size=(n_data,)).astype(np.int32))
     key = jax.random.PRNGKey(1)
+
+    def step(state, xx, yy, kk):      # cost-analysis wrapper shape
+        return step_dd(state, data, labels, xx, kk)
+
+    x = jnp.asarray(r.randint(0, n_data, size=(batch,)), jnp.int32)
+    y = labels[:batch]
 
     # FLOPs/step from XLA cost analysis (for the roofline denominator)
     flops_per_step = None

@@ -97,8 +97,7 @@ def make_train_step(backbone, tx, spec: AugmentSpec,
         acc1, acc5 = losses.accuracy_topk(logits, y)
         return loss, (mut, acc1, acc5)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: PretrainState, x_u8, y, rng):
+    def step_impl(state: PretrainState, x_u8, y, rng):
         k_aug, k_drop = jax.random.split(jax.random.fold_in(rng, state.step))
         x = aug_ops.augment_batch(k_aug, x_u8, spec)
         (loss, (mut, acc1, acc5)), grads = jax.value_and_grad(
@@ -112,6 +111,32 @@ def make_train_step(backbone, tx, spec: AugmentSpec,
             opt_state=opt_state, step=state.step + 1)
         metrics = {"loss": loss, "acc1": acc1, "acc5": acc5}
         return new_state, metrics
+
+    train_step = jax.jit(step_impl, donate_argnums=(0,))
+    train_step.impl = step_impl
+    return train_step
+
+
+def make_train_step_device_data(backbone, tx, spec: AugmentSpec,
+                                with_bias: bool, label_pull=None,
+                                pull_embeds: Optional[jax.Array] = None,
+                                temperature: float = 1.0, mesh=None):
+    """Device-resident-dataset variant: the full uint8 image store lives in
+    HBM and each step gathers its batch on device from a tiny host-sent
+    index vector.  This removes the per-step host->HBM image copy entirely
+    — the right design whenever the dataset fits in HBM (miniImageNet's
+    train split is ~0.6GB uint8), and essential on hosts with slow
+    interconnect to the chip.
+    """
+    base = make_train_step(backbone, tx, spec, with_bias=with_bias,
+                           label_pull=label_pull, pull_embeds=pull_embeds,
+                           temperature=temperature, mesh=mesh)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: PretrainState, data_u8, labels, idxs, rng):
+        x = jnp.take(data_u8, idxs, axis=0)
+        y = jnp.take(labels, idxs, axis=0)
+        return base.impl(state, x, y, rng)
 
     return train_step
 

@@ -146,9 +146,37 @@ def main(argv=None):
     rng_np = np.random.RandomState(opt.set_seed)
     key = jax.random.PRNGKey(opt.set_seed)
 
-    from subspace_reg_tpu.data.pipeline import PrefetchLoader
-    loader = PrefetchLoader(train_split.imgs, train_labels,
-                            opt.batch_size, rng_np)
+    # device-resident dataset: when the uint8 image store fits in HBM,
+    # upload it once and gather batches on device — per-step host traffic
+    # shrinks to a ~2KB index vector (vital when the host<->chip link is
+    # slow; see engine/pretrain.py make_train_step_device_data)
+    device_data_max = int(os.environ.get("DEVICE_DATA_MAX_BYTES",
+                                         2 * 1024 ** 3))
+    use_device_data = (mesh is None
+                       and train_split.imgs.nbytes <= device_data_max)
+    if use_device_data:
+        print(f"==> staging dataset in HBM "
+              f"({train_split.imgs.nbytes / 1e6:.0f} MB)")
+        data_dev = jax.device_put(np.ascontiguousarray(train_split.imgs))
+        labels_dev = jax.device_put(train_labels)
+        val_dev = jax.device_put(np.ascontiguousarray(val_split.imgs))
+        step_dd = pt.make_train_step_device_data(
+            backbone, tx, train_spec, with_bias=opt.linear_bias,
+            label_pull=opt.label_pull, pull_embeds=pull_embeds)
+        n_train_total = len(train_labels)
+
+        def epoch_iter():
+            order = rng_np.permutation(n_train_total)
+            end = (n_train_total // opt.batch_size) * opt.batch_size
+            for i in range(0, end, opt.batch_size):
+                yield jnp.asarray(order[i:i + opt.batch_size], jnp.int32)
+        loader = None
+        val_imgs_for_eval = val_dev
+    else:
+        from subspace_reg_tpu.data.pipeline import PrefetchLoader
+        loader = PrefetchLoader(train_split.imgs, train_labels,
+                                opt.batch_size, rng_np)
+        val_imgs_for_eval = val_split.imgs
 
     def save(epoch, final=False):
         meta = {}
@@ -180,20 +208,33 @@ def main(argv=None):
             t0 = time.time()
             lm, a1m, a5m = AverageMeter(), AverageMeter(), AverageMeter()
             n_img = 0
-            for bi, (x, y) in enumerate(loader.epoch()):
-                if mesh is not None:
-                    x, y = mesh_lib.shard_batch(mesh, x, y)
-                state, m = train_step(state, x, y, key)
-                n_img += int(x.shape[0])
+            if use_device_data:
+                batches = ((idxs, None) for idxs in epoch_iter())
+            else:
+                batches = loader.epoch()
+            for bi, item in enumerate(batches):
+                if use_device_data:
+                    idxs, _ = item
+                    state, m = step_dd(state, data_dev, labels_dev,
+                                       idxs, key)
+                    bsz = int(idxs.shape[0])
+                else:
+                    x, y = item
+                    if mesh is not None:
+                        x, y = mesh_lib.shard_batch(mesh, x, y)
+                    state, m = train_step(state, x, y, key)
+                    bsz = int(x.shape[0])
+                n_img += bsz
                 if bi % opt.print_freq == 0:
-                    lm.update(float(m["loss"]), int(x.shape[0]))
-                    a1m.update(float(m["acc1"]), int(x.shape[0]))
-                    a5m.update(float(m["acc5"]), int(x.shape[0]))
+                    lm.update(float(m["loss"]), bsz)
+                    a1m.update(float(m["acc1"]), bsz)
+                    a5m.update(float(m["acc5"]), bsz)
                     print(f"Epoch: [{epoch}][{bi}/{steps_per_epoch}]\t"
                           f"Loss {lm.val:.4f} ({lm.avg:.4f})\t"
                           f"Acc@1 {a1m.val:.3f} ({a1m.avg:.3f})\t"
                           f"Acc@5 {a5m.val:.3f} ({a5m.avg:.3f})")
                     sys.stdout.flush()
+            _ = float(m["loss"])   # drain the dispatch pipeline before timing
             dt = time.time() - t0
             ips = n_img / dt
             print(f"epoch {epoch}, total time {dt:.2f}, "
@@ -203,8 +244,8 @@ def main(argv=None):
             logger.log_value("train_loss", lm.avg, epoch)
             logger.log_value("images_per_sec", ips, epoch)
 
-        vm = pt.run_validation(eval_step, state, val_split.imgs, val_labels,
-                               opt.batch_size // 2)
+        vm = pt.run_validation(eval_step, state, val_imgs_for_eval,
+                               val_labels, opt.batch_size // 2)
         print(f" * Val Acc@1 {vm['acc1']:.3f} Acc@5 {vm['acc5']:.3f}")
         logger.log_value("test_acc", vm["acc1"], epoch)
         logger.log_value("test_acc_top5", vm["acc5"], epoch)
