@@ -34,6 +34,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if jax.default_backend() == "tpu":
+        # hardware RNG for dropout/augmentation bits (+4% step time vs
+        # threefry on v5e); distribution-level parity is unaffected
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     from subspace_reg_tpu.data.transforms import transforms_options
     from subspace_reg_tpu.engine import pretrain as pt
     from subspace_reg_tpu.models.resnet import ResNetRFS

@@ -69,6 +69,41 @@ def load_checkpoint(path: str, extra_template: Optional[Any] = None):
     return variables, head, meta
 
 
+def save_orbax(dirpath: str, variables: Dict[str, Any], head: Head,
+               meta: Optional[Dict[str, Any]] = None) -> None:
+    """Directory checkpoint via orbax (for large-scale sharded runs)."""
+    import orbax.checkpoint as ocp
+    payload = {
+        "variables": jax.tree_util.tree_map(np.asarray, variables),
+        "head_weight": np.asarray(head.weight),
+        "head_bias": (np.asarray(head.bias) if head.bias is not None
+                      else np.zeros((1,), np.float32)),   # orbax rejects 0-size
+        "head_n_active": np.asarray(int(head.n_active)),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.abspath(dirpath)
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, "meta.pkl"), "wb") as f:
+        pickle.dump({"meta": meta or {},
+                     "has_bias": head.bias is not None}, f)
+
+
+def load_orbax(dirpath: str):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(dirpath)
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(path)
+    with open(os.path.join(path, "meta.pkl"), "rb") as f:
+        raw = pickle.load(f)
+    variables = jax.tree_util.tree_map(jnp.asarray, payload["variables"])
+    bias = (jnp.asarray(payload["head_bias"]) if raw["has_bias"] else None)
+    head = Head(weight=jnp.asarray(payload["head_weight"]), bias=bias,
+                n_active=jnp.asarray(int(payload["head_n_active"]),
+                                     jnp.int32))
+    return variables, head, raw["meta"]
+
+
 def load_any(path: str, max_classes: Optional[int] = None):
     """Dispatch: reference .pth (torch pickle) or native checkpoint."""
     if path.endswith(".pth"):

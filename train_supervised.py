@@ -32,6 +32,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    if jax.default_backend() == "tpu":
+        # hardware RNG for dropout/augmentation bits (+4% step time on v5e)
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     opt = parse_option_supervised(argv)
     print("************* Training arguments *************")
     for k, v in vars(opt).items():
