@@ -274,6 +274,75 @@ def _run_tracked(fns, opt, geo, prt, run_vars, head_w, head_b, n_active,
     return params["w"], new_b, bstats, counters, metrics
 
 
+def _run_general_freeze(fns, opt, geo, prt, run_vars, head_w, head_b,
+                        n_active, w0, b0, reserved, n_reserved, support_x,
+                        support_ys_id, memory_data, memory_labels,
+                        memory_count, query_buf, query_y_buf, idx, base_x,
+                        base_y, sem_pullers, with_bias):
+    """freeze_backbone_at != 1: epochs 1..freeze_at-1 train the backbone too
+    (epoch 1 train-mode BN, later epochs eval-mode — reference
+    eval/util.py:62-69 + the validate() eval-mode carryover), then the run
+    switches to the cached-feature head loop with the surviving momentum."""
+    support_y = jnp.asarray(support_ys_id)
+    head_keys = ("w", "b") if with_bias else ("w",)
+    out = fns["prepare_full"](
+        run_vars, jnp.asarray(head_w), jnp.asarray(head_b),
+        jnp.asarray(n_active, jnp.int32), jnp.asarray(w0), jnp.asarray(b0),
+        jnp.asarray(reserved), jnp.asarray(n_reserved, jnp.int32),
+        support_x, support_y, memory_data, memory_labels,
+        jnp.asarray(memory_count, jnp.int32), jnp.asarray(sem_pullers),
+        jax.random.PRNGKey(opt.set_seed * 31 + idx))
+    (full_params, opt_state, loss, a1, a5, stable, stop,
+     bstats, counters) = out
+
+    epoch = 1
+    freeze_at = opt.freeze_backbone_at
+    while not bool(stop) and (epoch + 1) < freeze_at:
+        (full_params, opt_state, loss, stable, epoch_j, stop, a1, a5) = \
+            fns["full_epoch"](
+                full_params, opt_state, loss, stable,
+                jnp.asarray(epoch, jnp.int32), bstats, counters,
+                support_x, support_y, memory_data, memory_labels,
+                jnp.asarray(memory_count, jnp.int32),
+                jnp.asarray(w0), jnp.asarray(b0), jnp.asarray(reserved),
+                jnp.asarray(n_reserved, jnp.int32),
+                jnp.asarray(sem_pullers), jnp.asarray(n_active, jnp.int32))
+        epoch = int(epoch_j)
+
+    variables_now = {"params": full_params["backbone"],
+                     "batch_stats": bstats, "counters": counters}
+    f_sup, f_mem, f_query, f_base = fns["cache_feats"](
+        variables_now, support_x, memory_data, query_buf, base_x)
+    params = {k: full_params[k] for k in head_keys}
+    opt_state_h = _subset_opt_state(opt_state, head_keys)
+
+    while not bool(stop):
+        params, opt_state_h, loss, stable, epoch_j, stop, a1, a5 = \
+            fns["epoch"](
+                params, opt_state_h, loss, stable,
+                jnp.asarray(epoch, jnp.int32), f_sup, f_mem, support_y,
+                memory_labels, jnp.asarray(memory_count, jnp.int32),
+                jnp.asarray(w0), jnp.asarray(b0), jnp.asarray(reserved),
+                jnp.asarray(n_reserved, jnp.int32), jnp.asarray(sem_pullers),
+                jnp.asarray(n_active, jnp.int32))
+        epoch = int(epoch_j)
+
+    chunk_accs, chunk_valid, q_preds, base_acc, b_preds = fns["final_eval"](
+        params, f_query, jnp.asarray(query_y_buf),
+        jnp.asarray(idx + 1, jnp.int32), f_base, base_y,
+        jnp.asarray(n_active, jnp.int32))
+    metrics = {
+        "chunk_accs": chunk_accs, "chunk_valid": chunk_valid,
+        "base_acc": base_acc, "train_loss": loss,
+        "epochs": jnp.asarray(epoch, jnp.int32),
+        "support_acc1": a1, "support_acc5": a5,
+        "query_preds": q_preds, "base_preds": b_preds,
+    }
+    new_b = params.get("b", jnp.asarray(head_b))
+    return (params["w"], new_b, bstats, counters, metrics,
+            full_params["backbone"])
+
+
 def _write_tracking_csvs(opt, track_weight_rows, track_inspired_rows,
                          prt) -> None:
     """CSV artifacts with the reference's filenames
@@ -497,6 +566,110 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
         return evaluate(params, f_query, query_y, n_query_sessions,
                         f_base, base_y, n_active)
 
+    # ---- generalized path: backbone trains until freeze_backbone_at ----
+    # (reference freeze_backbone_weights, eval/util.py:62-69: at epoch ==
+    # freeze_backbone_at every parameter outside the classifier freezes; for
+    # epochs before that the backbone receives gradients too — epoch 1 in
+    # train mode, epochs >= 2 in eval mode, since validate() leaves the net
+    # in eval mode after every epoch)
+    tx_full = optim_lib.get_optim(opt)
+
+    def _full_loss(full_params, bstats, counters, x_sup, x_mem, memory_mask,
+                   support_y, memory_y, head_args, train, drop_rng):
+        (w0, b0, reserved, n_reserved, sem_pullers, n_active) = head_args
+        if train:
+            f_sup, mut = backbone.apply(
+                {"params": full_params["backbone"], "batch_stats": bstats,
+                 "counters": counters},
+                x_sup, train=True, mutable=["batch_stats", "counters"],
+                rngs={"dropout": drop_rng})
+        else:
+            f_sup = backbone.apply(
+                {"params": full_params["backbone"], "batch_stats": bstats,
+                 "counters": counters}, x_sup, train=False)
+            mut = None
+        head_params = {k: v for k, v in full_params.items()
+                       if k in ("w", "b")}
+        if memory_on:
+            if train:
+                f_mem, _ = backbone.apply(
+                    {"params": full_params["backbone"],
+                     "batch_stats": bstats, "counters": counters},
+                    x_mem, train=True, sample_mask=memory_mask,
+                    mutable=["batch_stats", "counters"],
+                    rngs={"dropout": drop_rng})
+            else:
+                f_mem = backbone.apply(
+                    {"params": full_params["backbone"],
+                     "batch_stats": bstats, "counters": counters},
+                    x_mem, train=False)
+        else:
+            f_mem = jnp.zeros((x_mem.shape[0], geo.feat_dim))
+        loss_fn = make_loss_fn(support_y, memory_y, memory_mask, w0, b0,
+                               reserved, n_reserved, sem_pullers, n_active,
+                               None)
+        loss, aux = loss_fn(head_params, f_sup, f_mem)
+        return loss, (aux, mut)
+
+    @jax.jit
+    def prepare_full_fn(variables, head_w, head_b, n_active,
+                        w0, b0, reserved, n_reserved,
+                        support_x, support_y,
+                        memory_x, memory_y, memory_count,
+                        sem_pullers, rng):
+        """Epoch 1 with backbone gradients (train-mode BN + stat update)."""
+        memory_mask = (jnp.arange(geo.max_memory) < memory_count
+                       ).astype(jnp.float32)
+        full_params = {"backbone": variables["params"], "w": head_w}
+        if with_bias:
+            full_params["b"] = head_b
+        opt_state = tx_full.init(full_params)
+        head_args = (w0, b0, reserved, n_reserved, sem_pullers, n_active)
+        k_sup, _ = jax.random.split(rng)
+        (l1, ((a1, a5), mut)), grads = jax.value_and_grad(
+            _full_loss, has_aux=True)(
+                full_params, variables["batch_stats"],
+                variables["counters"], support_x, memory_x, memory_mask,
+                support_y, memory_y, head_args, True, k_sup)
+        updates, opt_state = tx_full.update(grads, opt_state, full_params)
+        full_params = optax.apply_updates(full_params, updates)
+        stable_epochs, stop = stop_update(
+            l1, jnp.asarray(15.0), jnp.asarray(0, jnp.int32),
+            jnp.asarray(1, jnp.int32))
+        return (full_params, opt_state, l1, a1, a5, stable_epochs, stop,
+                mut["batch_stats"], mut["counters"])
+
+    @jax.jit
+    def full_epoch_fn(full_params, opt_state, prev_loss, stable_epochs,
+                      epoch, bstats, counters, support_x, support_y,
+                      memory_x, memory_y, memory_count,
+                      w0, b0, reserved, n_reserved, sem_pullers, n_active):
+        """One fine-tune epoch with live backbone (eval-mode BN, epoch >= 2),
+        gradient flow to every parameter (freeze masking is the caller's
+        job: it switches to the cached-feature path at freeze_backbone_at)."""
+        memory_mask = (jnp.arange(geo.max_memory) < memory_count
+                       ).astype(jnp.float32)
+        head_args = (w0, b0, reserved, n_reserved, sem_pullers, n_active)
+        epoch = epoch + 1
+        (l, ((a1, a5), _)), grads = jax.value_and_grad(
+            _full_loss, has_aux=True)(
+                full_params, bstats, counters, support_x, memory_x,
+                memory_mask, support_y, memory_y, head_args, False,
+                jax.random.PRNGKey(0))
+        updates, opt_state = tx_full.update(grads, opt_state, full_params)
+        full_params = optax.apply_updates(full_params, updates)
+        stable_epochs, stop = stop_update(l, prev_loss, stable_epochs, epoch)
+        return (full_params, opt_state, l, stable_epochs, epoch, stop,
+                a1, a5)
+
+    @jax.jit
+    def cache_feats_fn(variables, support_x, memory_x, query_x, base_x):
+        f_sup = apply_eval(variables, support_x)
+        f_mem = apply_eval(variables, memory_x)
+        f_query = apply_eval(variables, query_x)
+        f_base = apply_eval(variables, base_x)
+        return f_sup, f_mem, f_query, f_base
+
     @jax.jit
     def session_fn(variables, head_w, head_b, n_active,
                    w0, b0, reserved, n_reserved,
@@ -601,7 +774,25 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
                 vars2["counters"], metrics)
 
     return {"session": session_fn, "prepare": prepare_fn,
-            "epoch": epoch_fn, "final_eval": final_eval_fn}
+            "epoch": epoch_fn, "final_eval": final_eval_fn,
+            "prepare_full": prepare_full_fn, "full_epoch": full_epoch_fn,
+            "cache_feats": cache_feats_fn}
+
+
+def _subset_opt_state(state, keys):
+    """Slice an optax chain state over a full param tree down to the head
+    entries — used when the general freeze path hands the surviving head
+    momentum to the cached-feature loop (torch semantics: frozen params are
+    skipped by the optimizer; live buffers persist)."""
+    def fix(s):
+        if hasattr(s, "trace"):
+            return s._replace(trace={k: s.trace[k] for k in keys
+                                     if k in s.trace})
+        if hasattr(s, "mu"):
+            return s._replace(mu={k: s.mu[k] for k in keys if k in s.mu},
+                              nu={k: s.nu[k] for k in keys if k in s.nu})
+        return s
+    return tuple(fix(s) for s in state)
 
 
 def eval_base_fn(backbone):
@@ -847,7 +1038,14 @@ def few_shot_finetune_incremental_test(
         # ---- the compiled session ----
         run_vars = {"params": params_bb, "batch_stats": batch_stats,
                     "counters": counters}
-        if not tracked:
+        if opt.freeze_backbone_at != 1:
+            (new_w, new_b, batch_stats, counters, metrics,
+             params_bb) = _run_general_freeze(
+                fns, opt, geo, prt, run_vars, head_w, head_b, n_active,
+                w0, b0, reserved, n_reserved, support_x, support_ys_id,
+                memory_data, memory_labels, memory_count, query_buf,
+                query_y_buf, idx, base_x, base_y, sem_pullers, with_bias)
+        elif not tracked:
             out = session_fn(
                 run_vars, jnp.asarray(head_w),
                 jnp.asarray(head_b), jnp.asarray(n_active, jnp.int32),

@@ -169,6 +169,18 @@ def test_tracked_mode_matches_and_writes_csvs(env, tmp_path, monkeypatch):
                       "classifier_weight")
 
 
+def test_general_freeze_backbone_at(env):
+    """freeze_backbone_at=3: the backbone trains for two epochs per session
+    before freezing (reference eval/util.py:62-69 semantics)."""
+    res = _run(env, label_pull=None, attraction_override=None,
+               freeze_backbone_at=3, max_novel_epochs=8,
+               min_novel_epochs=3)
+    env["opt"].freeze_backbone_at = 1
+    assert len(res.acc_novel_list) == 8
+    assert all(1 <= e <= 8 for e in res.epochs_per_session)
+    assert np.isfinite(res.acc_novel_avg) and np.isfinite(res.acc_base_avg)
+
+
 def test_base_regularizer_anchors_base_rows(env):
     """With a huge base-weight anchor the base accuracy must stay at its
     initial level; novel rows still learn."""
