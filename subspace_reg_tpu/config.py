@@ -170,6 +170,14 @@ class SupervisedConfig:
     augment_pretrain_wtrainb: bool = False
     eval_mode: Optional[str] = None
     label_pull: Optional[float] = None
+    # distillation extension (the reference ships the distill/ package but
+    # never wires it into an entry point; BASELINE config 5 requires it):
+    distill: str = "none"                 # none | kd
+    teacher_path: str = ""
+    teacher_model: str = ""               # defaults to --model
+    kd_T: float = 4.0
+    kd_alpha: float = 1.0
+    kd_beta: float = 1.0
     # conditional flags (configs.py:181-188), valid when label_pull given:
     word_embed_size: int = 500
     word_embed_path: str = "word_embeds"

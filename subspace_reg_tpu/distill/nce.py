@@ -60,6 +60,36 @@ def _update_bank(memory: jax.Array, v: jax.Array, y: jax.Array,
     return memory.at[y].set(new)
 
 
+def nce_forward_full(state: NCEAverageState, l: jax.Array, ab: jax.Array,
+                     y: jax.Array) -> Tuple[jax.Array, jax.Array,
+                                            NCEAverageState]:
+    """Full contrast against the ENTIRE bank (reference NCEAverageFull /
+    NCEAverageFullSoftmax, distill/NCEAverage.py:144-381): returns
+    (B, output_size) similarity matrices — one big MXU matmul per view —
+    with the same momentum/renorm bank update."""
+    t = float(state.params[1])
+    momentum = float(state.params[4])
+    out_l = jnp.exp(ab @ state.memory_l.T / t)
+    out_ab = jnp.exp(l @ state.memory_ab.T / t)
+    z_l = jnp.where(state.z_l < 0,
+                    jnp.mean(out_l) * state.memory_l.shape[0], state.z_l)
+    z_ab = jnp.where(state.z_ab < 0,
+                     jnp.mean(out_ab) * state.memory_ab.shape[0], state.z_ab)
+    new_state = state.replace(
+        memory_l=_update_bank(state.memory_l, l, y, momentum),
+        memory_ab=_update_bank(state.memory_ab, ab, y, momentum),
+        z_l=z_l, z_ab=z_ab)
+    return out_l / z_l, out_ab / z_ab, new_state
+
+
+def full_softmax_loss(out: jax.Array, y: jax.Array) -> jax.Array:
+    """Cross-entropy over full-bank similarities (NCEAverageFullSoftmax
+    consumers): the positive is the own-index column."""
+    logp = jnp.log(jnp.maximum(out, 1e-20))
+    logp = logp - jnp.log(jnp.sum(out, axis=1, keepdims=True))
+    return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=1))
+
+
 def nce_forward(state: NCEAverageState, sampler_draw, l: jax.Array,
                 ab: jax.Array, y: jax.Array, rng: jax.Array,
                 idx: Optional[jax.Array] = None

@@ -68,9 +68,18 @@ def make_train_step(backbone, tx, spec: AugmentSpec,
                     with_bias: bool, label_pull=None,
                     pull_embeds: Optional[jax.Array] = None,
                     temperature: float = 1.0,
-                    mesh=None):
+                    mesh=None, teacher=None,
+                    kd_temperature: float = 4.0,
+                    kd_alpha: float = 1.0, kd_beta: float = 1.0):
     """One fused pretraining step: augment -> fwd(train) -> CE(+pull)
-    -> bwd -> torch-SGD.  (Reference hot loop train_supervised.py:216-244.)"""
+    -> bwd -> torch-SGD.  (Reference hot loop train_supervised.py:216-244.)
+
+    ``teacher=(module, variables, head_w, head_b)`` enables knowledge
+    distillation (loss = kd_alpha*CE + kd_beta*DistillKL) — the NCE/KD
+    capability of the RFS lineage the reference inherits its distill/
+    package from (BASELINE config 5); the teacher runs eval-mode inside the
+    same fused step.
+    """
 
     def loss_fn(params, batch_stats, counters, x, y, rng):
         out, mut = backbone.apply(
@@ -86,6 +95,16 @@ def make_train_step(backbone, tx, spec: AugmentSpec,
         if with_bias:
             logits = logits + params["head"]["b"]
         loss = losses.cross_entropy(logits, y)
+        if teacher is not None:
+            from ..distill.criterion import DistillKL
+            t_module, t_vars, t_w, t_b = teacher
+            t_feats = t_module.apply(t_vars, x, train=False)
+            t_logits = t_feats @ t_w.T
+            if t_b is not None:
+                t_logits = t_logits + t_b
+            t_logits = jax.lax.stop_gradient(t_logits)
+            loss = (kd_alpha * loss
+                    + kd_beta * DistillKL(logits, t_logits, kd_temperature))
         if label_pull is not None:
             # pretraining pull penalty (train_supervised.py:231-235):
             # attractors computed from the classifier itself
@@ -120,7 +139,8 @@ def make_train_step(backbone, tx, spec: AugmentSpec,
 def make_train_step_device_data(backbone, tx, spec: AugmentSpec,
                                 with_bias: bool, label_pull=None,
                                 pull_embeds: Optional[jax.Array] = None,
-                                temperature: float = 1.0, mesh=None):
+                                temperature: float = 1.0, mesh=None,
+                                **kw):
     """Device-resident-dataset variant: the full uint8 image store lives in
     HBM and each step gathers its batch on device from a tiny host-sent
     index vector.  This removes the per-step host->HBM image copy entirely
@@ -130,7 +150,7 @@ def make_train_step_device_data(backbone, tx, spec: AugmentSpec,
     """
     base = make_train_step(backbone, tx, spec, with_bias=with_bias,
                            label_pull=label_pull, pull_embeds=pull_embeds,
-                           temperature=temperature, mesh=mesh)
+                           temperature=temperature, mesh=mesh, **kw)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: PretrainState, data_u8, labels, idxs, rng):

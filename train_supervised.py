@@ -133,6 +133,30 @@ def main(argv=None):
         start_epoch = int(meta_r.get("epoch", 0)) + 1
         print(f"==> resumed from {opt.reload_path} at epoch {start_epoch}")
 
+    # ---- optional KD teacher (distill extension; BASELINE config 5) -----
+    teacher = None
+    if opt.distill == "kd":
+        from subspace_reg_tpu.utils.checkpoint import load_any
+        assert opt.teacher_path, "--distill kd requires --teacher_path"
+        t_vars, t_head, _ = load_any(opt.teacher_path)
+        t_name = opt.teacher_model or opt.model
+        teacher_backbone = create_model(t_name, int(t_head.n_active), opt,
+                                        dataset=opt.dataset,
+                                        dtype=jnp.bfloat16)
+        if "counters" not in t_vars:
+            iv = teacher_backbone.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, img_size, img_size, 3)), train=False)
+            t_vars = dict(t_vars)
+            t_vars["counters"] = iv["counters"]
+        n_t = int(t_head.n_active)
+        t_b = (jnp.asarray(t_head.bias[:n_t])
+               if t_head.bias is not None else None)
+        teacher = (teacher_backbone, t_vars,
+                   jnp.asarray(t_head.weight[:n_t]), t_b)
+        print(f"==> KD teacher: {t_name} ({n_t} classes), "
+              f"T={opt.kd_T} alpha={opt.kd_alpha} beta={opt.kd_beta}")
+
     # ---- mesh (data parallel over all local devices) --------------------
     mesh = mesh_lib.create_mesh() if jax.device_count() > 1 else None
     if mesh is not None:
@@ -140,7 +164,9 @@ def main(argv=None):
 
     train_step = pt.make_train_step(
         backbone, tx, train_spec, with_bias=opt.linear_bias,
-        label_pull=opt.label_pull, pull_embeds=pull_embeds, mesh=mesh)
+        label_pull=opt.label_pull, pull_embeds=pull_embeds, mesh=mesh,
+        teacher=teacher, kd_temperature=opt.kd_T,
+        kd_alpha=opt.kd_alpha, kd_beta=opt.kd_beta)
     eval_step = pt.make_eval_step(
         backbone, test_spec, with_bias=opt.linear_bias,
         truncate_classes=(200 if (opt.dataset == "tieredImageNet"
@@ -166,7 +192,9 @@ def main(argv=None):
         val_dev = jax.device_put(np.ascontiguousarray(val_split.imgs))
         step_dd = pt.make_train_step_device_data(
             backbone, tx, train_spec, with_bias=opt.linear_bias,
-            label_pull=opt.label_pull, pull_embeds=pull_embeds)
+            label_pull=opt.label_pull, pull_embeds=pull_embeds,
+            teacher=teacher, kd_temperature=opt.kd_T,
+            kd_alpha=opt.kd_alpha, kd_beta=opt.kd_beta)
         n_train_total = len(train_labels)
 
         def epoch_iter():
