@@ -44,7 +44,7 @@ def main():
     from subspace_reg_tpu.models.resnet import ResNetRFS
     from subspace_reg_tpu.utils import optim as optim_lib
 
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     n_cls, img = 60, 84
 
     backbone = ResNetRFS(n_blocks=(1, 1, 2, 2), drop_rate=0.1,
