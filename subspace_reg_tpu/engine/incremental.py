@@ -43,7 +43,6 @@ import optax
 
 from ..config import MAX_SESSIONS
 from ..data.episodes import EpisodeSampler, get_vocabs
-from ..data.memory import ReplayMemory
 from ..data.transforms import transforms_test_options
 from ..models import head as head_lib
 from ..models import lang_puller as lp

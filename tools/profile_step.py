@@ -60,13 +60,6 @@ def main():
     t_fwd = timeit(fwd_j, variables, x)
 
     # full step
-    def run(s):
-        s, m = step(s, x_u8, y, key)
-        return m["loss"]
-    # can't donate in repeated timing with same state; rebuild step without donation
-    step_nodonate = jax.jit(lambda s, xx, yy, kk: step._fun(s, xx, yy, kk)) \
-        if hasattr(step, "_fun") else None
-    t_step = None
     s = state
     out = step(s, x_u8, y, key)
     jax.block_until_ready(out[1]["loss"])
