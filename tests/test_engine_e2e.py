@@ -181,6 +181,49 @@ def test_general_freeze_backbone_at(env):
     assert np.isfinite(res.acc_novel_avg) and np.isfinite(res.acc_base_avg)
 
 
+def test_adam_optimizer_path(env):
+    """--adam uses torch-Adam semantics with wd 5e-4 (eval/util.py:92-96);
+    Pallas loop is ineligible, the XLA loop must serve."""
+    res = _run(env, label_pull=None, attraction_override=None,
+               adam=True, max_novel_epochs=10)
+    env["opt"].adam = False
+    assert len(res.acc_novel_list) == 8
+    assert np.isfinite(res.acc_novel_avg)
+
+
+def test_bias_head_path(env):
+    """linear_bias=True: CE with bias, regloss bias term (squared);
+    lmbd_reg_novel must be refused (reference bias branch crashes)."""
+    from subspace_reg_tpu.models import head as head_lib
+    import jax
+    head_b = head_lib.init_head(jax.random.PRNGKey(9), 60, in_dim=32,
+                                with_bias=True, max_classes=100)
+    opt = env["opt"]
+    opt.label_pull = None
+    opt.attraction_override = None
+    old_novel = opt.lmbd_reg_novel
+    opt.lmbd_reg_novel = None
+    opt.max_novel_epochs = 8
+    meta_sampler = EpisodeSampler(env["novel"], opt, split="val",
+                                  disjoint_classes=True)
+    res = few_shot_finetune_incremental_test(
+        env["backbone"], env["variables"], head_b, {}, opt,
+        meta_sampler=meta_sampler, base_test_split=env["base_test"],
+        base_support_sampler=None, verbose=False, pallas_mode="off")
+    opt.lmbd_reg_novel = old_novel
+    assert len(res.acc_novel_list) == 8
+    assert np.isfinite(res.acc_novel_avg)
+
+    # bias + novel anchor must raise (reference resnet_language.py:239 crash)
+    opt2 = env["opt"]
+    opt2.lmbd_reg_novel = 0.1
+    with pytest.raises(NotImplementedError):
+        few_shot_finetune_incremental_test(
+            env["backbone"], env["variables"], head_b, {}, opt2,
+            meta_sampler=meta_sampler, base_test_split=env["base_test"],
+            verbose=False, pallas_mode="off")
+
+
 def test_base_regularizer_anchors_base_rows(env):
     """With a huge base-weight anchor the base accuracy must stay at its
     initial level; novel rows still learn."""
