@@ -78,6 +78,12 @@ def _crop_flip_batch(x: jax.Array, key: jax.Array, pad: int,
     per-image one-hot shift matrix turns the translation into MXU work with
     clean layouts.  bf16 is exact here: one-hot rows select single uint8
     values (<= 255, exactly representable in bf16).
+
+    A Pallas DMA-copy kernel was also evaluated and rejected: sliced DMAs
+    require 128-lane alignment on the minor dimension, so arbitrary column
+    offsets of (H, W, 3) images cannot be expressed as window copies — the
+    systolic array IS the TPU's general shift/permute engine, which is why
+    the matmul formulation wins here.
     """
     b, h, w, c = x.shape
     hp, wp = h + 2 * pad, w + 2 * pad
