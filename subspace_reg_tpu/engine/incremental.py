@@ -24,17 +24,24 @@ sessions through padded buffers + dynamic scalars):
   evaluate  per-session novel query chunks + the fixed 1000-image base batch
             (language_eval.py:321-326,361-367).
 
-Host-side, the ``IncrementalEngine`` keeps the reference's global np.random
-stream contract (episode sampling reseeds per item; the replay-memory index
-draw continues the stream — language_eval.py:352-359).
+Host-side, ``few_shot_finetune_incremental_test`` keeps the reference's
+global np.random stream contract (episode sampling reseeds per item; the
+replay-memory index draw continues the stream — language_eval.py:352-359).
+
+Execution modes (selected automatically):
+  * compiled session program (default) with the fused Pallas fine-tune loop
+    on TPU (``pallas_mode='auto'``) or the stop-masked XLA while_loop;
+  * per-epoch tracked mode for --track_weights / --verbose observability;
+  * general ``freeze_backbone_at != 1`` mode (full-backbone fine-tuning
+    until the freeze epoch);
+  * a vmapped multi-seed variant lives in engine/multiseed.py.
 """
 
 from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

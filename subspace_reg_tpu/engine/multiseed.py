@@ -17,8 +17,8 @@ The fused Pallas loop does not vmap; this path uses the XLA while_loop.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

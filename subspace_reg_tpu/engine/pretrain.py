@@ -16,10 +16,8 @@ Checkpoints carry the reference metadata contract: ``training_classes``
 
 from __future__ import annotations
 
-import time
-from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +30,6 @@ from ..models import head as head_lib
 from ..ops import augment as aug_ops
 from ..ops import losses
 from ..parallel import mesh as mesh_lib
-from ..utils import optim as optim_lib
 
 
 @struct.dataclass

@@ -8,7 +8,7 @@ separate padded buffer (see models/head.py), created by the caller with
 from __future__ import annotations
 
 from . import model_dict
-from .resnet import ResNetRFS, FEATURE_DIM
+from .resnet import ResNetRFS
 
 
 def create_model(name: str, n_cls: int, opt, vocab=None,

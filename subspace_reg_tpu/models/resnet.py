@@ -30,8 +30,7 @@ head across sessions, which on TPU is a statically-padded buffer + mask (see
 
 from __future__ import annotations
 
-from dataclasses import field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

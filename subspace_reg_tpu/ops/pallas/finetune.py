@@ -32,7 +32,6 @@ row-x-active-class mask matrices built by the wrapper.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
