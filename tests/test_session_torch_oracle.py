@@ -197,3 +197,110 @@ def test_one_session_matches_torch_reference_model(reference_path):
                                atol=1e-3)
     np.testing.assert_allclose(float(metrics["train_loss"]), losses_t[-1],
                                rtol=5e-3)
+
+    # =====================================================================
+    # SESSION 2: memory replay + previous-novel anchor now active
+    # (language_eval.py:169-186,256-274)
+    # =====================================================================
+    w_after1 = np.asarray(out[0])
+    bstats1, counters1 = out[2], out[3]
+    reserved_rows = w_after1[n_base:n_base + n_ways].copy()
+    mem_count = 10
+    mem_x = sup_x[:mem_count]                   # replayed support images
+    mem_y = sup_y[:mem_count]
+    sup2_x = r.randn(n_sup, img, img, 3).astype(np.float32)
+    sup2_y = np.repeat(np.arange(n_base + n_ways, n_base + 2 * n_ways),
+                       opt.n_shots)
+    qry2_x = r.randn(n_ways * opt.n_queries, img, img, 3).astype(np.float32)
+    qry2_y = np.repeat(np.arange(n_base + n_ways, n_base + 2 * n_ways),
+                       opt.n_queries)
+    new_rows2 = (0.05 * r.randn(n_ways, d)).astype(np.float32)
+    lmbd_novel = 0.1
+
+    # ---- torch side -----------------------------------------------------
+    tnet.train()
+    W2 = torch.nn.Parameter(torch.cat(
+        [tnet.classifier.weight.detach(), torch.from_numpy(new_rows2)], 0))
+    tnet.classifier = torch.nn.Linear(d, n_base + 2 * n_ways, bias=False)
+    tnet.classifier.weight = W2
+    t_reserved = torch.from_numpy(reserved_rows)
+    optim2 = torch.optim.SGD([tnet.classifier.weight],
+                             lr=opt.learning_rate, momentum=opt.momentum,
+                             weight_decay=opt.weight_decay)
+    ts2_x = torch.from_numpy(sup2_x.transpose(0, 3, 1, 2))
+    ts2_y = torch.from_numpy(sup2_y)
+    tm_x = torch.from_numpy(mem_x.transpose(0, 3, 1, 2))
+    tm_y = torch.from_numpy(mem_y)
+    prev_loss, stable, epoch, stop = 15.0, 0, 1, False
+    while not stop:
+        loss = ce(tnet(ts2_x), ts2_y)
+        loss = loss + ce(tnet(tm_x), tm_y)      # memory replay
+        loss = loss + opt.lmbd_reg_transform_w * torch.norm(
+            tnet.classifier.weight[:n_base] - base_w0)
+        loss = loss + lmbd_novel * torch.norm(
+            tnet.classifier.weight[n_base:n_base + n_ways] - t_reserved)
+        q, _ = torch.linalg.qr(base_w0.t(), mode="reduced")
+        cur = tnet.classifier.weight[n_base + n_ways:]
+        mut = cur @ q
+        pullers = (mut / torch.norm(q.T, dim=1).unsqueeze(0)) @ q.T
+        loss = loss + opt.label_pull * torch.norm(pullers - cur) ** 2
+        optim2.zero_grad()
+        loss.backward()
+        optim2.step()
+        l = float(loss.detach())
+        if abs(l - prev_loss) < opt.convergence_epsilon:
+            stable += 1
+        else:
+            stable = 0
+        if stable == opt.stable_epochs or epoch >= opt.max_novel_epochs or \
+                (l <= opt.target_train_loss
+                 and epoch >= opt.min_novel_epochs + 1):
+            stop = True
+        prev_loss = l
+        tnet.eval()
+        epoch += 1
+    epochs2_torch = epoch - 1
+    with torch.no_grad():
+        acc_q1_t = (tnet(torch.from_numpy(qry_x.transpose(0, 3, 1, 2)))
+                    .argmax(1).numpy() == qry_y).mean() * 100
+        acc_q2_t = (tnet(torch.from_numpy(qry2_x.transpose(0, 3, 1, 2)))
+                    .argmax(1).numpy() == qry2_y).mean() * 100
+        acc_base2_t = (tnet(torch.from_numpy(base_x.transpose(0, 3, 1, 2)))
+                       .argmax(1).numpy() == base_y).mean() * 100
+
+    # ---- our side: session 2 with memory + anchors ----------------------
+    opt2 = Opt()
+    opt2.memory_replay = 1
+    opt2.lmbd_reg_novel = lmbd_novel
+    fns2 = make_session_fn(backbone, opt2, geo, with_bias=False,
+                           pallas_mode="off")
+    head_w2 = w_after1.copy()
+    head_w2[n_base + n_ways:n_base + 2 * n_ways] = new_rows2
+    reserved_buf = np.zeros((geo.max_novel, d), np.float32)
+    reserved_buf[:n_ways] = reserved_rows
+    mem_buf = np.zeros((geo.max_memory, img, img, 3), np.float32)
+    mem_buf[:mem_count] = mem_x
+    mem_y_buf = np.zeros((geo.max_memory,), np.int32)
+    mem_y_buf[:mem_count] = mem_y
+    q_buf[len(qry_y):len(qry_y) + len(qry2_y)] = qry2_x
+    qy_buf[len(qry_y):len(qry_y) + len(qry2_y)] = qry2_y
+    vars1 = {"params": variables["params"], "batch_stats": bstats1,
+             "counters": counters1}
+    out2 = fns2["session"](
+        vars1, jnp.asarray(head_w2), zeros_b,
+        jnp.asarray(n_base + 2 * n_ways, jnp.int32),
+        jnp.asarray(head_w * (np.arange(geo.max_classes)[:, None] < n_base)),
+        zeros_b,
+        jnp.asarray(reserved_buf), jnp.asarray(n_ways, jnp.int32),
+        jnp.asarray(sup2_x), jnp.asarray(sup2_y, jnp.int32),
+        jnp.asarray(mem_buf), jnp.asarray(mem_y_buf),
+        jnp.asarray(mem_count, jnp.int32),
+        jnp.asarray(q_buf), jnp.asarray(qy_buf), jnp.asarray(2, jnp.int32),
+        jnp.asarray(base_x), jnp.asarray(base_y, jnp.int32),
+        jnp.zeros((n_ways, d)), jnp.asarray(1, jnp.int32),
+        jax.random.PRNGKey(10))
+    m2 = out2[4]
+    assert int(m2["epochs"]) == epochs2_torch
+    np.testing.assert_allclose(float(m2["chunk_accs"][0]), acc_q1_t, atol=1e-3)
+    np.testing.assert_allclose(float(m2["chunk_accs"][1]), acc_q2_t, atol=1e-3)
+    np.testing.assert_allclose(float(m2["base_acc"]), acc_base2_t, atol=1e-3)
