@@ -218,6 +218,17 @@ class EpisodeSampler:
                        query_x=query_xs, query_y=query_ys)
 
 
+def cycle_episodes(sampler: "EpisodeSampler"):
+    """Endless episode iterator (reference get_batch_cycle /
+    itertools.cycle over the DataLoader, eval/util.py:140-146,
+    language_eval.py:110-111)."""
+    item = 0
+    n = max(len(sampler), 1)
+    while True:
+        yield sampler.get(item % n)
+        item += 1
+
+
 def get_vocabs(base_split: Optional[SplitData] = None,
                novel_split: Optional[SplitData] = None,
                query_ys: Optional[np.ndarray] = None):

@@ -53,15 +53,35 @@ def few_shot_finetune_multiseed(
         per_seed_heads, per_seed_meta: Sequence[Dict[str, Any]],
         opts: Sequence, per_seed_samplers: Sequence[EpisodeSampler],
         per_seed_base_test, per_seed_base_support=None,
-        verbose: bool = False) -> MultiSeedResult:
+        verbose: bool = False, shard_over_devices: bool = False
+        ) -> MultiSeedResult:
     """Run the multi-session protocol for S seeds simultaneously.
 
     ``opts`` differ only in ``set_seed``; all static hyperparameters must
     match (one compiled program).  Each list argument has length S.
+
+    ``shard_over_devices=True`` lays the seed axis out over a 1-D device
+    mesh — on a pod each chip runs its share of the seed batch, the full
+    pod-level counterpart of the reference's Slurm array (XLA partitions
+    the vmapped program; no code change per scale).
     """
     S = len(opts)
     opt0 = opts[0]
     prt = print if verbose else (lambda *a, **k: None)
+
+    seed_sharding = None
+    if shard_over_devices:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        n_dev = max(d for d in range(1, jax.device_count() + 1)
+                    if S % d == 0)
+        mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("seed",))
+        seed_sharding = NamedSharding(mesh, P("seed"))
+        prt(f"sharding {S} seeds over {n_dev} devices")
+
+    def maybe_shard(x):
+        if seed_sharding is None:
+            return x
+        return jax.device_put(x, seed_sharding)
 
     train_spec, test_spec = transforms_test_options[opt0.transform]
     img_size = per_seed_base_test[0].imgs.shape[1]
@@ -89,7 +109,8 @@ def few_shot_finetune_multiseed(
     def stack_vars(vs):
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *vs)
 
-    variables = stack_vars(list(per_seed_variables))
+    variables = jax.tree_util.tree_map(
+        maybe_shard, stack_vars(list(per_seed_variables)))
     head_w = np.stack([np.asarray(h.weight, np.float32)
                        for h in per_seed_heads])
     n_active = int(head0.n_active)
@@ -231,7 +252,7 @@ def few_shot_finetune_multiseed(
         n_active += geo.n_ways
 
         out = vsession(
-            variables, jnp.asarray(head_w),
+            variables, maybe_shard(jnp.asarray(head_w)),
             jnp.asarray(b0), jnp.asarray(n_active, jnp.int32),
             jnp.asarray(w0), jnp.asarray(b0),
             jnp.asarray(reserved), jnp.asarray(n_reserved, jnp.int32),

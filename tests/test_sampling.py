@@ -166,6 +166,17 @@ def test_sampler_determinism(data_root):
     np.testing.assert_array_equal(e1.query_y, e2.query_y)
 
 
+def test_cycle_episodes(data_root):
+    from subspace_reg_tpu.data.episodes import cycle_episodes
+    opt = _opt(data_root, n_test_runs=2)
+    val = load_mini_imagenet(opt, split="val")
+    sampler = EpisodeSampler(val, opt, split="val")
+    it = cycle_episodes(sampler)
+    eps = [next(it) for _ in range(5)]   # wraps past len=2
+    np.testing.assert_array_equal(eps[0].query_y, eps[2].query_y)
+    np.testing.assert_array_equal(eps[1].query_y, eps[3].query_y)
+
+
 def test_get_vocabs(data_root):
     opt = _opt(data_root)
     tr = load_mini_imagenet(opt, split="train", phase="test",
