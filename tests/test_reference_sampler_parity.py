@@ -1,0 +1,167 @@
+"""Bit-exact episode parity against the REFERENCE's own dataset code.
+
+The reference's DataLoader layer is pure numpy underneath torchvision
+plumbing; here we import the actual reference ``ImageNet``/``MetaImageNet``
+classes (torchvision stubbed out, identity transforms injected) and compare
+every episode's raw images and labels byte-for-byte with our functional
+sampler — the strongest possible check of the RNG-sequence contract
+(dataset/mini_imagenet.py:70-126, 266-349).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from subspace_reg_tpu.data import synthetic
+from subspace_reg_tpu.data.episodes import EpisodeSampler
+from subspace_reg_tpu.data.mini_imagenet import load_mini_imagenet
+
+
+class Opt:
+    continual = True
+    set_seed = 7
+    data_aug = True
+    n_ways = 5
+    n_shots = 5
+    n_queries = 4
+    n_test_runs = 6
+    eval_mode = "few-shot-incremental-fine-tune"
+    n_aug_support_samples = 3
+    n_base_aug_support_samples = 0
+    n_base_support_samples = 0
+
+
+def _install_torchvision_stub():
+    """Minimal torchvision surface for the reference dataset module."""
+    if "torchvision" in sys.modules and not getattr(
+            sys.modules["torchvision"], "_is_stub", False):
+        return
+
+    class _AnyTransform:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    class _Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
+    tv = types.ModuleType("torchvision")
+    tv._is_stub = True
+    tr = types.ModuleType("torchvision.transforms")
+    for name in ("Normalize", "RandomCrop", "ColorJitter",
+                 "RandomHorizontalFlip", "ToTensor", "Resize", "CenterCrop"):
+        setattr(tr, name, _AnyTransform)
+    tr.Compose = _Compose
+    tv.transforms = tr
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = tr
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory, ):
+    root = str(tmp_path_factory.mktemp("mini_refpar"))
+    synthetic.make_mini_imagenet(root, n_classes=100, per_class=20,
+                                 img_size=8, seed=0)
+    return root
+
+
+def _reference_sampler(reference_path, opt, split, disjoint, phase=None):
+    torch = pytest.importorskip("torch")
+    _install_torchvision_stub()
+    sys.path.insert(0, reference_path)
+    try:
+        import importlib
+        import dataset.mini_imagenet as ref_mini
+        importlib.reload(ref_mini)
+        identity = lambda x: torch.from_numpy(
+            np.asarray(x).astype(np.float32).copy())
+        ds = ref_mini.MetaImageNet(
+            args=opt, split=split, phase=phase,
+            train_transform=identity, test_transform=identity,
+            fix_seed=True, use_episodes=False,
+            disjoint_classes=disjoint)
+        return ds
+    finally:
+        sys.path.pop(0)
+
+
+def test_disjoint_episodes_bit_exact_vs_reference(env, reference_path):
+    opt = Opt()
+    opt.data_root = env
+
+    ref_ds = _reference_sampler(reference_path, opt, "val", True)
+
+    val = load_mini_imagenet(opt, split="val")
+    ours = EpisodeSampler(val, opt, split="val", disjoint_classes=True)
+
+    for item in range(8):
+        r_sup_x, r_sup_y, r_qry_x, r_qry_y = ref_ds[item]
+        ep = ours.get(item)
+        np.testing.assert_array_equal(
+            np.asarray(r_sup_x).reshape(ep.support_x.shape),
+            ep.support_x.astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(r_sup_y), ep.support_y)
+        np.testing.assert_array_equal(
+            np.asarray(r_qry_x).reshape(ep.query_x.shape),
+            ep.query_x.astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(r_qry_y), ep.query_y)
+
+
+def test_random_episodes_bit_exact_vs_reference(env, reference_path):
+    opt = Opt()
+    opt.data_root = env
+
+    ref_ds = _reference_sampler(reference_path, opt, "val", False)
+    val = load_mini_imagenet(opt, split="val")
+    ours = EpisodeSampler(val, opt, split="val", disjoint_classes=False)
+
+    for item in (0, 3, 5):
+        r_sup_x, r_sup_y, r_qry_x, r_qry_y = ref_ds[item]
+        ep = ours.get(item)
+        np.testing.assert_array_equal(np.asarray(r_sup_y), ep.support_y)
+        np.testing.assert_array_equal(np.asarray(r_qry_y), ep.query_y)
+        np.testing.assert_array_equal(
+            np.asarray(r_qry_x).reshape(ep.query_x.shape),
+            ep.query_x.astype(np.float32))
+
+
+def test_base_exemplar_episode_bit_exact_vs_reference(env, reference_path):
+    opt = Opt()
+    opt.data_root = env
+    opt.n_base_support_samples = 1
+
+    ref_ds = _reference_sampler(reference_path, opt, "train", False,
+                                phase="train")
+    tr = load_mini_imagenet(opt, split="train", phase="train",
+                            train_per_class=10, val_per_class=2)
+    # align: the reference object above loaded with default 500/50 split —
+    # rebuild it against the same miniature split by patching its data
+    ours = EpisodeSampler(tr, opt, split="train", phase="train")
+
+    # rebuild reference grouping over the same miniature split
+    ref_ds.imgs = tr.imgs
+    ref_ds.labels = list(tr.labels)
+    ref_ds.data = {}
+    for i in range(tr.imgs.shape[0]):
+        ref_ds.data.setdefault(tr.labels[i], []).append(tr.imgs[i])
+    ref_ds.classes = list(ref_ds.data.keys())
+    np.random.seed(opt.set_seed)
+    np.random.shuffle(ref_ds.classes)
+
+    r_sup_x, r_sup_y, _, _ = ref_ds[0]
+    ep = ours.get(0)
+    np.testing.assert_array_equal(np.asarray(r_sup_y).reshape(-1),
+                                  ep.support_y)
+    np.testing.assert_array_equal(
+        np.asarray(r_sup_x).reshape(ep.support_x.shape),
+        ep.support_x.astype(np.float32))
