@@ -135,6 +135,39 @@ def test_random_episodes_bit_exact_vs_reference(env, reference_path):
             ep.query_x.astype(np.float32))
 
 
+def test_continual_split_bit_exact_vs_reference(tmp_path, reference_path):
+    """The pooled 500/50/rest split itself, at real per-class sizes,
+    against the reference ImageNet class (dataset/mini_imagenet.py:70-126)."""
+    torch = pytest.importorskip("torch")
+    root = str(tmp_path / "mini_full")
+    synthetic.make_mini_imagenet(root, n_classes=100, per_class=560,
+                                 img_size=4, seed=1)
+    opt = Opt()
+    opt.data_root = root
+
+    _install_torchvision_stub()
+    sys.path.insert(0, reference_path)
+    try:
+        import importlib
+        import dataset.mini_imagenet as ref_mini
+        importlib.reload(ref_mini)
+        identity = lambda x: torch.from_numpy(
+            np.asarray(x).astype(np.float32).copy())
+        for split, phase in (("train", "train"), ("train", "val"),
+                             ("train", "test"), ("val", None)):
+            ref = ref_mini.ImageNet(args=opt, split=split, phase=phase,
+                                    transform=identity)
+            ours = load_mini_imagenet(opt, split=split, phase=phase)
+            np.testing.assert_array_equal(ref.imgs, ours.imgs)
+            assert list(ref.labels) == list(ours.labels)
+            assert ref.cat2label == ours.cat2label
+            assert ref.label2human == ours.label2human
+            if split == "train":
+                assert ref.basec_map == ours.basec_map
+    finally:
+        sys.path.pop(0)
+
+
 def test_base_exemplar_episode_bit_exact_vs_reference(env, reference_path):
     opt = Opt()
     opt.data_root = env
