@@ -40,6 +40,11 @@ class Episode:
     support_y: np.ndarray   # (n_support,) int64
     query_x: np.ndarray     # (n_query, H, W, 3) uint8 — needs test transform
     query_y: np.ndarray     # (n_query,) int64
+    # global indices into the split's image array (when available): lets the
+    # engine gather episode images from a device-resident dataset instead of
+    # uploading pixels per session
+    support_idx: Optional[np.ndarray] = None
+    query_idx: Optional[np.ndarray] = None
 
 
 class EpisodeSampler:
@@ -69,10 +74,13 @@ class EpisodeSampler:
         self.label2human = base.label2human
 
         # group images by label, preserving insertion order over the array
-        # (mini_imagenet.py:266-271)
+        # (mini_imagenet.py:266-271); global indices recorded in parallel so
+        # episodes can be realized as device-side gathers
         self.data: Dict[int, List[np.ndarray]] = {}
+        self.index: Dict[int, List[int]] = {}
         for idx in range(base.imgs.shape[0]):
             self.data.setdefault(base.labels[idx], []).append(base.imgs[idx])
+            self.index.setdefault(base.labels[idx], []).append(idx)
         self.classes = list(self.data.keys())
 
         if self.use_episodes:
@@ -136,15 +144,17 @@ class EpisodeSampler:
         if self.fix_seed:
             np.random.seed(item)
         cls_sampled = np.random.choice(self.classes, len(self.classes), False)
-        support_xs, support_ys = [], []
+        support_xs, support_ys, support_gids = [], [], []
         for cls in np.sort(cls_sampled):
             imgs = np.asarray(self.data[cls]).astype("uint8")
             ids = np.random.choice(range(imgs.shape[0]),
                                    self.n_base_support_samples, False)
             support_xs.append(imgs[ids])
             support_ys.append([cls] * self.n_base_support_samples)
+            support_gids.append(np.asarray(self.index[cls])[ids])
         support_xs = np.array(support_xs)
         support_ys = np.array(support_ys)
+        support_gids = np.concatenate(support_gids)
         h, w, c = support_xs.shape[-3:]
         support_xs = support_xs.reshape((-1, h, w, c))
         support_ys = support_ys.reshape((-1,))
@@ -153,8 +163,11 @@ class EpisodeSampler:
                                  (self.n_base_aug_support_samples, 1, 1, 1))
             support_ys = np.tile(support_ys,
                                  (self.n_base_aug_support_samples,))
+            support_gids = np.tile(support_gids,
+                                   (self.n_base_aug_support_samples,))
         return Episode(support_x=support_xs, support_y=support_ys,
-                       query_x=support_xs, query_y=support_ys)  # dummy query
+                       query_x=support_xs, query_y=support_ys,  # dummy query
+                       support_idx=support_gids, query_idx=support_gids)
 
     # -- regular / disjoint episodes ---------------------------------------
     def _sampled_episode(self, item: int) -> Episode:
@@ -166,11 +179,13 @@ class EpisodeSampler:
         else:
             cls_sampled = np.random.choice(self.classes, self.n_ways, False)
         support_xs, support_ys, query_xs, query_ys = [], [], [], []
+        support_gids, query_gids = [], []
         for idx, cls in enumerate(np.sort(cls_sampled)):
             imgs = np.asarray(self.data[cls]).astype("uint8")
             support_ids = np.random.choice(range(imgs.shape[0]),
                                            self.n_shots, False)
             support_xs.append(imgs[support_ids])
+            support_gids.append(np.asarray(self.index[cls])[support_ids])
             lbl = idx
             if self.eval_mode in ["few-shot-incremental-fine-tune"]:
                 lbl = cls
@@ -178,9 +193,12 @@ class EpisodeSampler:
             query_ids = np.setxor1d(np.arange(imgs.shape[0]), support_ids)
             query_ids = np.random.choice(query_ids, self.n_queries, False)
             query_xs.append(imgs[query_ids])
+            query_gids.append(np.asarray(self.index[cls])[query_ids])
             query_ys.append([lbl] * query_ids.shape[0])
         support_xs, support_ys = np.array(support_xs), np.array(support_ys)
         query_xs, query_ys = np.array(query_xs), np.array(query_ys)
+        support_gids = np.concatenate(support_gids)
+        query_gids = np.concatenate(query_gids)
         h, w, c = query_xs.shape[-3:]
         query_xs = query_xs.reshape((-1, h, w, c))
         query_ys = query_ys.reshape((-1,))
@@ -189,8 +207,10 @@ class EpisodeSampler:
         if self.n_aug_support_samples > 1:
             support_xs = np.tile(support_xs, (self.n_aug_support_samples, 1, 1, 1))
             support_ys = np.tile(support_ys, (self.n_aug_support_samples,))
+            support_gids = np.tile(support_gids, (self.n_aug_support_samples,))
         return Episode(support_x=support_xs, support_y=support_ys,
-                       query_x=query_xs, query_y=query_ys)
+                       query_x=query_xs, query_y=query_ys,
+                       support_idx=support_gids, query_idx=query_gids)
 
     # -- exact-episode replay ----------------------------------------------
     def _replayed_episode(self, item: int) -> Episode:
@@ -204,18 +224,24 @@ class EpisodeSampler:
 
         if self.split == "train" and self.phase in ("val", "test"):
             return Episode(support_x=query_xs, support_y=query_ys,
-                           query_x=query_xs, query_y=query_ys)
+                           query_x=query_xs, query_y=query_ys,
+                           support_idx=np.asarray(query_ids),
+                           query_idx=np.asarray(query_ids))
         support_ids = self.episode_support_ids[item]
         support_xs = np.array(imgs[support_ids])
         support_ys = np.array([labels[i] for i in support_ids])
         assert len(np.unique(support_ys)) == self.n_ways
         support_xs = support_xs.reshape((-1, h, w, c))
+        support_gids = np.asarray(support_ids)
         if self.n_aug_support_samples > 1:
             support_xs = np.tile(support_xs, (self.n_aug_support_samples, 1, 1, 1))
             support_ys = np.tile(support_ys.reshape((-1,)),
                                  (self.n_aug_support_samples,))
+            support_gids = np.tile(support_gids, (self.n_aug_support_samples,))
         return Episode(support_x=support_xs, support_y=support_ys,
-                       query_x=query_xs, query_y=query_ys)
+                       query_x=query_xs, query_y=query_ys,
+                       support_idx=support_gids,
+                       query_idx=np.asarray(query_ids))
 
 
 def cycle_episodes(sampler: "EpisodeSampler"):

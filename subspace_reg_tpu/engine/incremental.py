@@ -907,22 +907,28 @@ def few_shot_finetune_incremental_test(
     track_inspired_rows: List = []
     base_eval = eval_base_fn(backbone)
 
-    # state threaded across sessions
-    head_w = np.asarray(head0.weight, np.float32).copy()
+    # state threaded across sessions — device-resident so sessions can be
+    # dispatched back-to-back with no host round trips
+    head_w = jnp.asarray(np.asarray(head0.weight, np.float32))
     assert head_w.shape[0] == geo.max_classes, (
         f"head must be padded to {geo.max_classes} rows "
         f"(import with max_classes=...), got {head_w.shape[0]}")
-    head_b = (np.asarray(head0.bias, np.float32).copy()
-              if with_bias else np.zeros((geo.max_classes,), np.float32))
+    head_b = (jnp.asarray(np.asarray(head0.bias, np.float32))
+              if with_bias else jnp.zeros((geo.max_classes,), jnp.float32))
     n_active = int(head0.n_active)
-    w0 = head_w.copy()
-    b0 = head_b.copy()
+    w0 = head_w
+    b0 = head_b
     batch_stats = variables["batch_stats"]
     counters = variables["counters"]
     params_bb = variables["params"]
 
-    reserved = np.zeros((geo.max_novel, geo.feat_dim), np.float32)
+    reserved = jnp.zeros((geo.max_novel, geo.feat_dim), jnp.float32)
     n_reserved = 0
+    # fully-async fast path: defer all metric pulls to the end of the run
+    # so the 8 session programs pipeline on device without RTT stalls
+    async_mode = (not tracked and opt.freeze_backbone_at == 1
+                  and not bool(getattr(opt, "save_preds_0", False)))
+    pending: List = []
     # device-resident padded buffers: updated in place on device each
     # session instead of re-uploading ~190MB of padded images from host
     memory_data = jnp.zeros((geo.max_memory, img_size, img_size, 3),
@@ -941,6 +947,11 @@ def few_shot_finetune_incremental_test(
     basec_map_rev = {}
     if opt.continual and meta.get("training_classes"):
         basec_map_rev = {v: k for k, v in meta["training_classes"].items()}
+
+    # stage the novel split's uint8 images in HBM once: episodes become
+    # device-side row gathers from host-sent index vectors (no per-session
+    # pixel uploads)
+    novel_imgs_dev = jnp.asarray(meta_sampler.base.imgs)
 
     acc_novel, acc_base = _Meter(), _Meter()
     weighted_avg_l: List[float] = []
@@ -962,138 +973,9 @@ def few_shot_finetune_incremental_test(
     lang_state = None
     vocab_base = vocab_novel = None
 
-    for idx in range(iter_num):
-        prt(f"\n**** Iteration {idx + 1}/{iter_num} ****\n")
-        t0 = time.time()
-        ep = meta_sampler.get(idx)
-
-        # vocab bookkeeping (language_eval.py:155-167)
-        if idx > 0:
-            prev_vocab_base, prev_vocab_novel = vocab_base, vocab_novel
-        vb, vocab_all, vocab_novel, orig2id = get_vocabs(
-            base_split_for_vocab or base_test_split,
-            meta_sampler.base, ep.query_y)
-        vocab_base = vb
-        if idx > 0:
-            vocab_base = prev_vocab_base + prev_vocab_novel
-
-        # reserve previous session's novel rows (language_eval.py:169-186)
-        if idx >= 1:
-            lo = geo.orig_base + geo.n_ways * (idx - 1)
-            reserved[geo.n_ways * (idx - 1): geo.n_ways * idx] = \
-                head_w[lo: lo + geo.n_ways]
-            n_reserved = geo.n_ways * idx
-
-        novel_labels = np.sort(np.unique(ep.query_y))
-        for k in list(orig2id.keys()):
-            orig2id[k] = orig2id[k] + idx * opt.n_ways
-        query_ys_id = np.asarray([orig2id[int(y)] for y in ep.query_y],
-                                 np.int32)
-        support_ys_id = np.asarray([orig2id[int(y)] for y in ep.support_y],
-                                   np.int32)
-
-        # device-side augmentation of this session's support
-        k_aug = jax.random.PRNGKey(opt.set_seed * 100003 + idx)
-        support_x = aug_ops.augment_batch(
-            k_aug, jnp.asarray(ep.support_x), train_spec)
-        query_x = aug_ops.normalize_batch(
-            jnp.asarray(ep.query_x), test_spec)
-
-        # grow the query collection (language_eval.py:198-204) — in place
-        # on device
-        nq = geo.n_query_per_session
-        query_buf = jax.lax.dynamic_update_slice(
-            query_buf, query_x, (idx * nq, 0, 0, 0))
-        query_y_buf[idx * nq:(idx + 1) * nq] = query_ys_id
-
-        if base_sup_x is not None:
-            support_x = jnp.concatenate([support_x, base_sup_x], 0)
-            support_ys_id = np.concatenate([support_ys_id, base_sup_y])
-
-        # classifier growth (language_eval.py:214)
-        grow_key = jax.random.PRNGKey(opt.set_seed * 61 + 1000 + idx)
-        new_head = head_lib.augment(
-            head_lib.Head(weight=jnp.asarray(head_w),
-                          bias=jnp.asarray(head_b) if with_bias else None,
-                          n_active=jnp.asarray(n_active, jnp.int32)),
-            grow_key, len(novel_labels))
-        head_w = np.asarray(new_head.weight)
-        if with_bias:
-            head_b = np.asarray(new_head.bias)
-        n_active = int(new_head.n_active)
-
-        # semantic / mapping attractors (language_eval.py:216-228)
-        sem_pullers = np.zeros((geo.n_ways, geo.feat_dim), np.float32)
-        if (opt.label_pull is not None
-                and getattr(opt, "pulling", "regularize") == "regularize"
-                and opt.attraction_override != "distance2subspace"):
-            # (the reference instantiates LangPuller — and so requires the
-            # embedding pickles on disk — even for distance2subspace, where
-            # its attractors are immediately overridden; we only touch the
-            # embeds when they are actually used, language_eval.py:218-228)
-            if idx == 0:
-                lang_state = lp.create_lang_puller(opt, vocab_base, vocab_novel)
-            else:
-                lang_state = lp.update_novel_embeds(lang_state, opt, vocab_novel)
-            if opt.attraction_override == "mapping_linear_label2image":
-                m = meta["mapping_linear_label2image"]
-                lang_state = lp.with_mapping(lang_state, m["weight"], m["bias"])
-            sem_pullers = np.asarray(lp.pullers(
-                lang_state, jnp.asarray(w0[: geo.orig_base])))
-
-        # ---- the compiled session ----
-        run_vars = {"params": params_bb, "batch_stats": batch_stats,
-                    "counters": counters}
-        if opt.freeze_backbone_at != 1:
-            (new_w, new_b, batch_stats, counters, metrics,
-             params_bb) = _run_general_freeze(
-                fns, opt, geo, prt, run_vars, head_w, head_b, n_active,
-                w0, b0, reserved, n_reserved, support_x, support_ys_id,
-                memory_data, memory_labels, memory_count, query_buf,
-                query_y_buf, idx, base_x, base_y, sem_pullers, with_bias)
-        elif not tracked:
-            out = session_fn(
-                run_vars, jnp.asarray(head_w),
-                jnp.asarray(head_b), jnp.asarray(n_active, jnp.int32),
-                jnp.asarray(w0), jnp.asarray(b0),
-                jnp.asarray(reserved), jnp.asarray(n_reserved, jnp.int32),
-                support_x, jnp.asarray(support_ys_id),
-                memory_data, memory_labels,
-                jnp.asarray(memory_count, jnp.int32),
-                query_buf, jnp.asarray(query_y_buf),
-                jnp.asarray(idx + 1, jnp.int32),
-                base_x, base_y,
-                jnp.asarray(sem_pullers), jnp.asarray(idx, jnp.int32),
-                jax.random.PRNGKey(opt.set_seed * 31 + idx))
-            new_w, new_b, batch_stats, counters, metrics = out
-        else:
-            new_w, new_b, batch_stats, counters, metrics = _run_tracked(
-                fns, opt, geo, prt, run_vars, head_w, head_b, n_active,
-                w0, b0, reserved, n_reserved, support_x, support_ys_id,
-                memory_data, memory_labels, memory_count, query_buf,
-                query_y_buf, idx, base_x, base_y, sem_pullers, with_bias,
-                vocab_base, vocab_novel,
-                track_weight_rows, track_inspired_rows)
-        head_w = np.asarray(new_w)
-        if with_bias:
-            head_b = np.asarray(new_b)
-
-        # ---- replay-memory update (language_eval.py:352-359) ----
-        if opt.memory_replay:
-            inds = np.random.choice(opt.n_shots, opt.memory_replay)
-            margin = 5 * np.arange(5)
-            offset = np.arange(0, 125, 25)
-            inds = np.tile(margin + inds, (5, 1)) + (np.tile(offset, (5, 1))).T
-            inds = inds.flatten()
-            memory_data = jax.lax.dynamic_update_slice(
-                memory_data, support_x[jnp.asarray(inds)],
-                (memory_count, 0, 0, 0))
-            memory_labels = jax.lax.dynamic_update_slice(
-                memory_labels, jnp.asarray(support_ys_id[inds], jnp.int32),
-                (memory_count,))
-            memory_count += len(inds)
-
-        # ---- metrics (language_eval.py:370-395) ----
+    def _process_session_metrics(idx, metrics, vocab_base_s, vocab_novel_s,
+                                 novel_labels, t0):
+        """Per-session metric bookkeeping (language_eval.py:370-404)."""
         chunk_accs = np.asarray(metrics["chunk_accs"])
         chunk_valid = np.asarray(metrics["chunk_valid"])
         # the reference reports the mean of per-session accs ROUNDED to two
@@ -1110,7 +992,7 @@ def few_shot_finetune_incremental_test(
         # reference: 60 for mini, 200 for tiered (language_eval.py:383);
         # CIFAR (not wired in the reference) shares the 60-base protocol
         w1 = 200 if opt.dataset == "tieredImageNet" else 60
-        w2 = len(vocab_base) + len(vocab_novel) - 60
+        w2 = len(vocab_base_s) + len(vocab_novel_s) - 60
         weighted_avg = (w1 * acc_base_ + w2 * test_acc) / (w1 + w2)
         weighted_avg_l.append(round(weighted_avg, 2))
         acc_novel_list.append(round(test_acc, 2))
@@ -1158,7 +1040,7 @@ def few_shot_finetune_incremental_test(
                     fname, {k: np.asarray(v) for k, v in preds_rows.items()})
                 prt("saved", fname)
         prt(f"{'Classes:':25} {novel_labels}\n"
-            f"{'Labels:':25} {vocab_novel}\n"
+            f"{'Labels:':25} {vocab_novel_s}\n"
             f"{'Fine-tuning epochs:':25} {epochs_run}\n"
             f"{'Novel acc:':25} {test_acc:.4f}\n"
             f"{'Base acc:':25} {acc_base_:.4f}\n"
@@ -1167,6 +1049,168 @@ def few_shot_finetune_incremental_test(
             f"{'Running Novel Avg:':25} {acc_novel.avg:.4f}\n"
             f"{'Running Average:':25} {(acc_base.avg + acc_novel.avg) / 2:.4f}\n",
             flush=True)
+
+    t_loop_start = time.time()
+    t_first_session = None
+
+    for idx in range(iter_num):
+        prt(f"\n**** Iteration {idx + 1}/{iter_num} ****\n")
+        t0 = time.time()
+        ep = meta_sampler.get(idx)
+
+        # vocab bookkeeping (language_eval.py:155-167)
+        if idx > 0:
+            prev_vocab_base, prev_vocab_novel = vocab_base, vocab_novel
+        vb, vocab_all, vocab_novel, orig2id = get_vocabs(
+            base_split_for_vocab or base_test_split,
+            meta_sampler.base, ep.query_y)
+        vocab_base = vb
+        if idx > 0:
+            vocab_base = prev_vocab_base + prev_vocab_novel
+
+        # reserve previous session's novel rows (language_eval.py:169-186)
+        if idx >= 1:
+            lo = geo.orig_base + geo.n_ways * (idx - 1)
+            reserved = reserved.at[
+                geo.n_ways * (idx - 1): geo.n_ways * idx].set(
+                    head_w[lo: lo + geo.n_ways])
+            n_reserved = geo.n_ways * idx
+
+        novel_labels = np.sort(np.unique(ep.query_y))
+        for k in list(orig2id.keys()):
+            orig2id[k] = orig2id[k] + idx * opt.n_ways
+        query_ys_id = np.asarray([orig2id[int(y)] for y in ep.query_y],
+                                 np.int32)
+        support_ys_id = np.asarray([orig2id[int(y)] for y in ep.support_y],
+                                   np.int32)
+
+        # device-side episode realization + augmentation
+        k_aug = jax.random.PRNGKey(opt.set_seed * 100003 + idx)
+        if ep.support_idx is not None:
+            sup_u8 = jnp.take(novel_imgs_dev,
+                              jnp.asarray(ep.support_idx, jnp.int32), axis=0)
+            qry_u8 = jnp.take(novel_imgs_dev,
+                              jnp.asarray(ep.query_idx, jnp.int32), axis=0)
+        else:
+            sup_u8 = jnp.asarray(ep.support_x)
+            qry_u8 = jnp.asarray(ep.query_x)
+        support_x = aug_ops.augment_batch(k_aug, sup_u8, train_spec)
+        query_x = aug_ops.normalize_batch(qry_u8, test_spec)
+
+        # grow the query collection (language_eval.py:198-204) — in place
+        # on device
+        nq = geo.n_query_per_session
+        query_buf = jax.lax.dynamic_update_slice(
+            query_buf, query_x, (idx * nq, 0, 0, 0))
+        query_y_buf[idx * nq:(idx + 1) * nq] = query_ys_id
+
+        if base_sup_x is not None:
+            support_x = jnp.concatenate([support_x, base_sup_x], 0)
+            support_ys_id = np.concatenate([support_ys_id, base_sup_y])
+
+        # classifier growth (language_eval.py:214)
+        grow_key = jax.random.PRNGKey(opt.set_seed * 61 + 1000 + idx)
+        new_head = head_lib.augment(
+            head_lib.Head(weight=head_w,
+                          bias=head_b if with_bias else None,
+                          n_active=jnp.asarray(n_active, jnp.int32)),
+            grow_key, len(novel_labels))
+        head_w = new_head.weight
+        if with_bias:
+            head_b = new_head.bias
+        n_active = int(new_head.n_active)
+
+        # semantic / mapping attractors (language_eval.py:216-228)
+        sem_pullers = np.zeros((geo.n_ways, geo.feat_dim), np.float32)
+        if (opt.label_pull is not None
+                and getattr(opt, "pulling", "regularize") == "regularize"
+                and opt.attraction_override != "distance2subspace"):
+            # (the reference instantiates LangPuller — and so requires the
+            # embedding pickles on disk — even for distance2subspace, where
+            # its attractors are immediately overridden; we only touch the
+            # embeds when they are actually used, language_eval.py:218-228)
+            if idx == 0:
+                lang_state = lp.create_lang_puller(opt, vocab_base, vocab_novel)
+            else:
+                lang_state = lp.update_novel_embeds(lang_state, opt, vocab_novel)
+            if opt.attraction_override == "mapping_linear_label2image":
+                m = meta["mapping_linear_label2image"]
+                lang_state = lp.with_mapping(lang_state, m["weight"], m["bias"])
+            sem_pullers = np.asarray(lp.pullers(
+                lang_state, w0[: geo.orig_base]))
+
+        # ---- the compiled session ----
+        run_vars = {"params": params_bb, "batch_stats": batch_stats,
+                    "counters": counters}
+        if opt.freeze_backbone_at != 1:
+            (new_w, new_b, batch_stats, counters, metrics,
+             params_bb) = _run_general_freeze(
+                fns, opt, geo, prt, run_vars, head_w, head_b, n_active,
+                w0, b0, reserved, n_reserved, support_x, support_ys_id,
+                memory_data, memory_labels, memory_count, query_buf,
+                query_y_buf, idx, base_x, base_y, sem_pullers, with_bias)
+        elif not tracked:
+            out = session_fn(
+                run_vars, head_w,
+                head_b, jnp.asarray(n_active, jnp.int32),
+                w0, b0,
+                reserved, jnp.asarray(n_reserved, jnp.int32),
+                support_x, jnp.asarray(support_ys_id),
+                memory_data, memory_labels,
+                jnp.asarray(memory_count, jnp.int32),
+                query_buf, jnp.asarray(query_y_buf),
+                jnp.asarray(idx + 1, jnp.int32),
+                base_x, base_y,
+                jnp.asarray(sem_pullers), jnp.asarray(idx, jnp.int32),
+                jax.random.PRNGKey(opt.set_seed * 31 + idx))
+            new_w, new_b, batch_stats, counters, metrics = out
+        else:
+            new_w, new_b, batch_stats, counters, metrics = _run_tracked(
+                fns, opt, geo, prt, run_vars, head_w, head_b, n_active,
+                w0, b0, reserved, n_reserved, support_x, support_ys_id,
+                memory_data, memory_labels, memory_count, query_buf,
+                query_y_buf, idx, base_x, base_y, sem_pullers, with_bias,
+                vocab_base, vocab_novel,
+                track_weight_rows, track_inspired_rows)
+        head_w = new_w
+        if with_bias:
+            head_b = new_b
+
+        # ---- replay-memory update (language_eval.py:352-359) ----
+        if opt.memory_replay:
+            inds = np.random.choice(opt.n_shots, opt.memory_replay)
+            margin = 5 * np.arange(5)
+            offset = np.arange(0, 125, 25)
+            inds = np.tile(margin + inds, (5, 1)) + (np.tile(offset, (5, 1))).T
+            inds = inds.flatten()
+            memory_data = jax.lax.dynamic_update_slice(
+                memory_data, support_x[jnp.asarray(inds)],
+                (memory_count, 0, 0, 0))
+            memory_labels = jax.lax.dynamic_update_slice(
+                memory_labels, jnp.asarray(support_ys_id[inds], jnp.int32),
+                (memory_count,))
+            memory_count += len(inds)
+
+        if async_mode:
+            # keep everything on device; metrics are pulled once at the end
+            # so the 8 session programs pipeline without RTT stalls
+            if t_first_session is None:
+                t_first_session = time.time() - t_loop_start
+            pending.append((idx, metrics, vocab_base, vocab_novel,
+                            novel_labels, t0))
+            continue
+
+        _process_session_metrics(
+            idx, metrics, vocab_base, vocab_novel, novel_labels, t0)
+
+    if async_mode:
+        for args in pending:
+            _process_session_metrics(*args)
+        # dispatch was pipelined; spread the measured wall time over sessions
+        total = time.time() - t_loop_start
+        first = t_first_session or total / max(iter_num, 1)
+        rest = max(total - first, 0.0) / max(iter_num - 1, 1)
+        secs[:] = [first] + [rest] * (iter_num - 1)
 
     if tracked:
         _write_tracking_csvs(opt, track_weight_rows, track_inspired_rows, prt)
