@@ -46,3 +46,18 @@ def test_prefetch_loader_covers_epoch():
     # shuffled coverage without replacement (within the dropped-last epoch)
     flat = np.concatenate(ys)
     assert len(flat) == 96
+
+
+def test_replay_memory_container():
+    """Host-side ReplayMemory (reference dataset/memory.py:4-28 semantics;
+    the engine itself uses device-resident buffers)."""
+    from subspace_reg_tpu.data.memory import ReplayMemory
+    m = ReplayMemory(10, (2, 2, 3))
+    assert len(m) == 0
+    m.additems(np.ones((4, 2, 2, 3), np.float32), np.arange(4))
+    m.additems(2 * np.ones((3, 2, 2, 3), np.float32), np.arange(3))
+    assert len(m) == 7
+    assert m.mask().sum() == 7
+    np.testing.assert_array_equal(m.labels[:4], np.arange(4))
+    with pytest.raises(AssertionError):
+        m.additems(np.ones((9, 2, 2, 3), np.float32), np.arange(9))

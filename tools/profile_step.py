@@ -1,5 +1,10 @@
 #!/usr/bin/env python
-"""Decompose the pretraining step time: augmentation / forward / fwd+bwd."""
+"""Decompose the pretraining step time: augmentation / forward / fwd+bwd.
+
+CAVEAT for this environment: the chip sits behind an async relay whose
+block_until_ready can acknowledge early, so sub-millisecond numbers here are
+unreliable.  Trust bench.py's slope methodology (two chain lengths with a
+forced scalar host pull) for headline figures."""
 
 import os
 import time
