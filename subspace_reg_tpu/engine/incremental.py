@@ -716,7 +716,9 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
             l1, jnp.asarray(15.0), jnp.asarray(0, jnp.int32),
             jnp.asarray(1, jnp.int32))
 
-        # ---- cache eval-mode features (constant for epochs 2..N) ----
+        # ---- cache eval-mode features (constant for epochs 2..N); four
+        # separate forwards — concatenating first was measured slower (the
+        # 90MB buffer copy outweighs the saved per-layer overheads) ----
         f_sup = apply_eval(vars2, support_x)
         f_mem = apply_eval(vars2, memory_x) if memory_on else f_mem_tr
         f_query = apply_eval(vars2, query_x)
