@@ -172,12 +172,18 @@ class SupervisedConfig:
     label_pull: Optional[float] = None
     # distillation extension (the reference ships the distill/ package but
     # never wires it into an entry point; BASELINE config 5 requires it):
-    distill: str = "none"                 # none | kd
+    distill: str = "none"                 # none | kd | nce | crd
     teacher_path: str = ""
     teacher_model: str = ""               # defaults to --model
     kd_T: float = 4.0
     kd_alpha: float = 1.0
     kd_beta: float = 1.0
+    # contrastive (NCE/CRD) knobs — RFS lineage defaults
+    # (reference distill/NCEAverage.py:10-21 ctor, distill/criterion.py:32)
+    feat_dim: int = 128
+    nce_k: int = 16384
+    nce_t: float = 0.07
+    nce_m: float = 0.5
     # conditional flags (configs.py:181-188), valid when label_pull given:
     word_embed_size: int = 500
     word_embed_path: str = "word_embeds"
@@ -196,6 +202,9 @@ class SupervisedConfig:
     attention: Optional[str] = None
 
     def finalize(self, make_dirs: bool = True) -> "SupervisedConfig":
+        if self.distill not in ("none", "kd", "nce", "crd"):
+            raise ValueError(
+                f"--distill must be one of none|kd|nce|crd, got {self.distill!r}")
         if self.dataset in ("CIFAR-FS", "FC100"):
             self.transform = "D"
         if self.use_trainval:

@@ -67,10 +67,12 @@ def nce_forward_full(state: NCEAverageState, l: jax.Array, ab: jax.Array,
     NCEAverageFullSoftmax, distill/NCEAverage.py:144-381): returns
     (B, output_size) similarity matrices — one big MXU matmul per view —
     with the same momentum/renorm bank update."""
-    t = float(state.params[1])
-    momentum = float(state.params[4])
-    out_l = jnp.exp(ab @ state.memory_l.T / t)
-    out_ab = jnp.exp(l @ state.memory_ab.T / t)
+    t = state.params[1]            # traced scalars: jit-safe
+    momentum = state.params[4]
+    # reference orientation (NCEAverageFull): out_l = <memory_ab, l>,
+    # out_ab = <memory_l, ab>
+    out_l = jnp.exp(l @ state.memory_ab.T / t)
+    out_ab = jnp.exp(ab @ state.memory_l.T / t)
     z_l = jnp.where(state.z_l < 0,
                     jnp.mean(out_l) * state.memory_l.shape[0], state.z_l)
     z_ab = jnp.where(state.z_ab < 0,
@@ -99,17 +101,21 @@ def nce_forward(state: NCEAverageState, sampler_draw, l: jax.Array,
     ``sampler_draw(key, shape)`` supplies negatives (AliasSampler.draw or a
     uniform fallback).  Returns (out_l, out_ab, new_state).
     """
-    k = int(state.params[0])
-    t = float(state.params[1])
-    momentum = float(state.params[4])
+    t = state.params[1]            # traced scalars: jit-safe
+    momentum = state.params[4]
     b = l.shape[0]
 
     if idx is None:
+        # shape-defining K must be concrete — this branch is for host-side
+        # callers (alias-sampled negatives); jitted steps pass idx explicitly
+        k = int(state.params[0])
         idx = sampler_draw(rng, (b, k + 1))
         idx = idx.at[:, 0].set(y)                 # slot 0 = positive
 
-    out_l, z_l = _contrast(state.memory_l, ab, idx, t, state.z_l)
-    out_ab, z_ab = _contrast(state.memory_ab, l, idx, t, state.z_ab)
+    # reference orientation (NCEAverage.py forward): out_l contrasts the
+    # *l* view against the *ab* bank (weight_ab . l) and vice versa
+    out_l, z_l = _contrast(state.memory_ab, l, idx, t, state.z_l)
+    out_ab, z_ab = _contrast(state.memory_l, ab, idx, t, state.z_ab)
 
     new_state = state.replace(
         memory_l=_update_bank(state.memory_l, l, y, momentum),

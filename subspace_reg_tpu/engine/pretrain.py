@@ -158,6 +158,165 @@ def make_train_step_device_data(backbone, tx, spec: AugmentSpec,
     return train_step
 
 
+def init_nce_training(rng, state: PretrainState, tx, teacher_feat_dim: int,
+                      student_feat_dim: int, feat_dim: int,
+                      n_data: int, nce_k: int, nce_t: float, nce_m: float):
+    """Extend a PretrainState for contrastive (CRD/NCE) distillation
+    (reference distill/NCEAverage.py:8-381, distill/criterion.py NCELoss;
+    the RFS lineage trains student + both Embed heads jointly).
+
+    Returns (state-with-embed-params, embed_s, embed_t, NCEAverageState).
+    """
+    from ..distill.embed import Embed
+    from ..distill.nce import init_nce_average
+
+    k1, k2, k3 = jax.random.split(rng, 3)
+    embed_s = Embed(dim_out=feat_dim)
+    embed_t = Embed(dim_out=feat_dim)
+    p_s = embed_s.init(k1, jnp.zeros((1, student_feat_dim)))["params"]
+    p_t = embed_t.init(k2, jnp.zeros((1, teacher_feat_dim)))["params"]
+    params = dict(state.params)
+    params["embed_s"] = p_s
+    params["embed_t"] = p_t
+    state = state.replace(params=params, opt_state=tx.init(params))
+    nce_state = init_nce_average(k3, n_data, feat_dim, nce_k,
+                                 temperature=nce_t, momentum=nce_m)
+    return state, embed_s, embed_t, nce_state
+
+
+def make_train_step_nce(backbone, tx, spec: AugmentSpec, with_bias: bool,
+                        teacher, embed_s, embed_t, n_data: int,
+                        nce_k: int, kd_alpha: float = 1.0,
+                        kd_beta: float = 1.0, mode: str = "nce"):
+    """Contrastive-distillation pretraining step (device-resident dataset).
+
+    One fused jitted step reproducing the RFS NCE recipe the reference's
+    distill/ package implements (reference distill/NCEAverage.py forward +
+    momentum bank update, distill/NCECriterion.py loss, distill/criterion.py
+    NCELoss = criterion_s(out_l) + criterion_t(out_ab)):
+
+      * gather the two-view batch on device (both views are the same
+        augmented image — the reference's is_sample machinery pairs the
+        sample with itself, dataset/mini_imagenet.py:141-163),
+      * negatives: k dataset indices drawn uniformly per sample from the
+        *other-class* index set via the class-sorted complement structure
+        (``neg_table`` = build_negative_table output) — the cls_negative
+        contract of dataset/mini_imagenet.py:154-160,
+      * student fwd (train) -> Embed_s; teacher fwd (eval) -> Embed_t,
+      * NCE contrast against both memory banks + momentum/renorm update
+        inside the same step,
+      * loss = kd_alpha * CE + kd_beta * (NCE_l + NCE_ab); both Embed
+        heads train jointly with the backbone (RFS trainable_list).
+
+    ``mode='crd'`` uses the InfoNCE softmax criterion (reference
+    NCESoftmaxLoss) instead of the NCE criterion.
+    """
+    from ..distill.criterion import nce_loss, nce_softmax_loss
+    from ..distill.nce import nce_forward
+
+    t_module, t_vars, _, _ = teacher
+
+    def loss_fn(params, batch_stats, counters, nce_state, x, y, items,
+                idx, rng):
+        feat_s, mut = backbone.apply(
+            {"params": params["backbone"], "batch_stats": batch_stats,
+             "counters": counters},
+            x, train=True, mutable=["batch_stats", "counters"],
+            rngs={"dropout": rng})
+        w = params["head"]["w"]
+        logits = feat_s @ w.T
+        if with_bias:
+            logits = logits + params["head"]["b"]
+        ce = losses.cross_entropy(logits, y)
+
+        feat_t = jax.lax.stop_gradient(
+            t_module.apply(t_vars, x, train=False))
+        l = embed_s.apply({"params": params["embed_s"]},
+                          feat_s.astype(jnp.float32))
+        ab = embed_t.apply({"params": params["embed_t"]},
+                           feat_t.astype(jnp.float32))
+
+        out_l, out_ab, nce_state = nce_forward(
+            nce_state, None, l, ab, items, rng, idx=idx)
+        if mode == "crd":
+            contrast = (nce_softmax_loss(jnp.log(jnp.maximum(out_l, 1e-20)))
+                        + nce_softmax_loss(
+                            jnp.log(jnp.maximum(out_ab, 1e-20))))
+        else:
+            contrast = nce_loss(out_l, n_data) + nce_loss(out_ab, n_data)
+        loss = kd_alpha * ce + kd_beta * contrast
+        acc1, acc5 = losses.accuracy_topk(logits, y)
+        return loss, (mut, nce_state, ce, contrast, acc1, acc5)
+
+    def step_impl(state: PretrainState, nce_state, x_u8, y, idxs,
+                  neg_table, rng):
+        k_aug, k_drop, k_neg = jax.random.split(
+            jax.random.fold_in(rng, state.step), 3)
+        x = aug_ops.augment_batch(k_aug, x_u8, spec)
+        b = idxs.shape[0]
+        # negatives: uniform-with-replacement over each sample's other-class
+        # indices (the cls_negative contract, dataset/mini_imagenet.py:154-160)
+        # via the O(n_data) class-sorted complement trick: draw a position in
+        # the complement of the own-class block of the class-sorted order,
+        # shift past the block, map through the order permutation.
+        order, class_off, class_cnt = neg_table
+        cnt = jnp.take(class_cnt, y, axis=0)[:, None]
+        off = jnp.take(class_off, y, axis=0)[:, None]
+        u = jax.random.uniform(k_neg, (b, nce_k))
+        pos = jnp.minimum((u * (n_data - cnt)).astype(jnp.int32),
+                          n_data - cnt - 1)
+        pos = jnp.where(pos >= off, pos + cnt, pos)
+        negs = jnp.take(order, pos, axis=0)
+        idx = jnp.concatenate([idxs[:, None], negs], axis=1)
+
+        (loss, (mut, nce_state, ce, contrast, acc1, acc5)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, state.counters, nce_state,
+                x, y, idxs, idx, k_drop))
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, batch_stats=mut["batch_stats"],
+            counters=mut["counters"], opt_state=opt_state,
+            step=state.step + 1)
+        metrics = {"loss": loss, "ce": ce, "contrast": contrast,
+                   "acc1": acc1, "acc5": acc5}
+        return new_state, nce_state, metrics
+
+    # host-fed batches (x already gathered; idxs are the dataset items)
+    train_step = jax.jit(step_impl, donate_argnums=(0, 1))
+
+    # device-resident dataset: gather the batch on device from an index
+    # vector (same contract as make_train_step_device_data)
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step_device_data(state, nce_state, data_u8, labels,
+                               neg_table, idxs, rng):
+        x = jnp.take(data_u8, idxs, axis=0)
+        y = jnp.take(labels, idxs, axis=0)
+        return step_impl(state, nce_state, x, y, idxs, neg_table, rng)
+
+    train_step.device_data = train_step_device_data
+    return train_step
+
+
+def build_negative_table(labels: np.ndarray, n_cls: int):
+    """Class-sorted complement-sampling structure for the cls_negative
+    contract (reference dataset/mini_imagenet.py:154-160): uniform negatives
+    from every *other* class, in O(n_data) memory (a per-class candidate
+    matrix would be O(n_cls * n_data) — 630GB for tieredImageNet).
+
+    Returns (order, class_off, class_cnt): ``order`` is the stable
+    class-sorted permutation of dataset indices; a sample of class c draws a
+    position in [0, n_data - cnt[c]), shifts it past the class block at
+    ``off[c]``, and maps through ``order``.
+    """
+    labels = np.asarray(labels)
+    order = np.argsort(labels, kind="stable").astype(np.int32)
+    cnt = np.bincount(labels, minlength=n_cls).astype(np.int32)
+    off = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int32)
+    return order, off, cnt
+
+
 def make_eval_step(backbone, spec: AugmentSpec, with_bias: bool,
                    truncate_classes: Optional[int] = None):
     """Validation step (reference eval/util.py:185-232).  ``truncate_classes``

@@ -133,11 +133,12 @@ def main(argv=None):
         start_epoch = int(meta_r.get("epoch", 0)) + 1
         print(f"==> resumed from {opt.reload_path} at epoch {start_epoch}")
 
-    # ---- optional KD teacher (distill extension; BASELINE config 5) -----
+    # ---- optional distillation teacher (KD / NCE / CRD; BASELINE config 5)
     teacher = None
-    if opt.distill == "kd":
+    if opt.distill in ("kd", "nce", "crd"):
         from subspace_reg_tpu.utils.checkpoint import load_any
-        assert opt.teacher_path, "--distill kd requires --teacher_path"
+        assert opt.teacher_path, (
+            f"--distill {opt.distill} requires --teacher_path")
         t_vars, t_head, _ = load_any(opt.teacher_path)
         t_name = opt.teacher_model or opt.model
         teacher_backbone = create_model(t_name, int(t_head.n_active), opt,
@@ -154,19 +155,54 @@ def main(argv=None):
                if t_head.bias is not None else None)
         teacher = (teacher_backbone, t_vars,
                    jnp.asarray(t_head.weight[:n_t]), t_b)
-        print(f"==> KD teacher: {t_name} ({n_t} classes), "
-              f"T={opt.kd_T} alpha={opt.kd_alpha} beta={opt.kd_beta}")
+        if opt.distill == "kd":
+            print(f"==> KD teacher: {t_name} ({n_t} classes), "
+                  f"T={opt.kd_T} alpha={opt.kd_alpha} beta={opt.kd_beta}")
+        else:
+            print(f"==> {opt.distill.upper()} teacher: {t_name}, "
+                  f"feat_dim={opt.feat_dim} K={opt.nce_k} T={opt.nce_t} "
+                  f"m={opt.nce_m} alpha={opt.kd_alpha} beta={opt.kd_beta}")
+
+    # ---- contrastive distillation state (NCE/CRD) ------------------------
+    nce_state = None
+    if opt.distill in ("nce", "crd"):
+        # memory banks are per-dataset-sample: the step needs dataset item
+        # indices, so contrastive mode runs on the index-driven input path.
+        # Negatives are drawn WITH replacement (dataset/mini_imagenet.py:156)
+        # so nce_k may exceed the complement size.  NB: --reload_path resume
+        # in contrastive mode restores params/BN but reinitializes the
+        # optimizer state and memory banks (they are not checkpointed).
+        nce_k = opt.nce_k
+        state, embed_s, embed_t, nce_state = pt.init_nce_training(
+            jax.random.PRNGKey(opt.set_seed + 1), state, tx,
+            teacher_feat_dim=teacher[0].feature_dim,
+            student_feat_dim=backbone.feature_dim,
+            feat_dim=opt.feat_dim, n_data=n_train, nce_k=nce_k,
+            nce_t=opt.nce_t, nce_m=opt.nce_m)
+        neg_table = tuple(jax.device_put(a) for a in
+                          pt.build_negative_table(train_labels, n_cls))
 
     # ---- mesh (data parallel over all local devices) --------------------
-    mesh = mesh_lib.create_mesh() if jax.device_count() > 1 else None
+    # contrastive distillation is single-chip in this round (per-sample
+    # memory banks + mesh DP not composed yet)
+    use_mesh = jax.device_count() > 1 and opt.distill not in ("nce", "crd")
+    mesh = mesh_lib.create_mesh() if use_mesh else None
     if mesh is not None:
         state = mesh_lib.replicate_tree(mesh, state)
 
-    train_step = pt.make_train_step(
-        backbone, tx, train_spec, with_bias=opt.linear_bias,
-        label_pull=opt.label_pull, pull_embeds=pull_embeds, mesh=mesh,
-        teacher=teacher, kd_temperature=opt.kd_T,
-        kd_alpha=opt.kd_alpha, kd_beta=opt.kd_beta)
+    if nce_state is not None:
+        train_step = pt.make_train_step_nce(
+            backbone, tx, train_spec, with_bias=opt.linear_bias,
+            teacher=teacher, embed_s=embed_s, embed_t=embed_t,
+            n_data=n_train, nce_k=nce_k, kd_alpha=opt.kd_alpha,
+            kd_beta=opt.kd_beta, mode=opt.distill)
+    else:
+        train_step = pt.make_train_step(
+            backbone, tx, train_spec, with_bias=opt.linear_bias,
+            label_pull=opt.label_pull, pull_embeds=pull_embeds, mesh=mesh,
+            teacher=teacher if opt.distill == "kd" else None,
+            kd_temperature=opt.kd_T,
+            kd_alpha=opt.kd_alpha, kd_beta=opt.kd_beta)
     eval_step = pt.make_eval_step(
         backbone, test_spec, with_bias=opt.linear_bias,
         truncate_classes=(200 if (opt.dataset == "tieredImageNet"
@@ -190,11 +226,13 @@ def main(argv=None):
         data_dev = jax.device_put(np.ascontiguousarray(train_split.imgs))
         labels_dev = jax.device_put(train_labels)
         val_dev = jax.device_put(np.ascontiguousarray(val_split.imgs))
-        step_dd = pt.make_train_step_device_data(
-            backbone, tx, train_spec, with_bias=opt.linear_bias,
-            label_pull=opt.label_pull, pull_embeds=pull_embeds,
-            teacher=teacher, kd_temperature=opt.kd_T,
-            kd_alpha=opt.kd_alpha, kd_beta=opt.kd_beta)
+        if nce_state is None:
+            step_dd = pt.make_train_step_device_data(
+                backbone, tx, train_spec, with_bias=opt.linear_bias,
+                label_pull=opt.label_pull, pull_embeds=pull_embeds,
+                teacher=teacher if opt.distill == "kd" else None,
+                kd_temperature=opt.kd_T,
+                kd_alpha=opt.kd_alpha, kd_beta=opt.kd_beta)
         n_train_total = len(train_labels)
 
         def epoch_iter():
@@ -204,6 +242,19 @@ def main(argv=None):
                 yield jnp.asarray(order[i:i + opt.batch_size], jnp.int32)
         loader = None
         val_imgs_for_eval = val_dev
+    elif nce_state is not None:
+        # contrastive mode needs dataset item indices: index-driven host
+        # gather (the reference DataLoader's (img, target, item, sample_idx)
+        # tuple, dataset/mini_imagenet.py:161-163)
+        n_train_total = len(train_labels)
+
+        def epoch_iter():
+            order = rng_np.permutation(n_train_total)
+            end = (n_train_total // opt.batch_size) * opt.batch_size
+            for i in range(0, end, opt.batch_size):
+                yield jnp.asarray(order[i:i + opt.batch_size], jnp.int32)
+        loader = None
+        val_imgs_for_eval = val_split.imgs
     else:
         from subspace_reg_tpu.data.pipeline import PrefetchLoader
         loader = PrefetchLoader(train_split.imgs, train_labels,
@@ -240,12 +291,26 @@ def main(argv=None):
             t0 = time.time()
             lm, a1m, a5m = AverageMeter(), AverageMeter(), AverageMeter()
             n_img = 0
-            if use_device_data:
+            if use_device_data or nce_state is not None:
                 batches = ((idxs, None) for idxs in epoch_iter())
             else:
                 batches = loader.epoch()
             for bi, item in enumerate(batches):
-                if use_device_data:
+                if nce_state is not None:
+                    idxs, _ = item
+                    if use_device_data:
+                        state, nce_state, m = train_step.device_data(
+                            state, nce_state, data_dev, labels_dev,
+                            neg_table, idxs, key)
+                    else:
+                        hi = np.asarray(idxs)
+                        state, nce_state, m = train_step(
+                            state, nce_state,
+                            jnp.asarray(train_split.imgs[hi]),
+                            jnp.asarray(train_labels[hi], jnp.int32),
+                            idxs, neg_table, key)
+                    bsz = int(idxs.shape[0])
+                elif use_device_data:
                     idxs, _ = item
                     state, m = step_dd(state, data_dev, labels_dev,
                                        idxs, key)
