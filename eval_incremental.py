@@ -39,33 +39,65 @@ def main(argv=None):
     print("End of arguments.\n")
 
     if opt.dataset == "miniImageNet":
-        load = load_mini_imagenet
+        # base test samples: base classes, unused-in-training samples
+        # (reference eval_incremental.py:53-57)
+        base_test = load_mini_imagenet(opt, split="train", phase="test")
+        base_train = (load_mini_imagenet(opt, split="train", phase="train")
+                      if opt.n_base_support_samples > 0 else None)
+        novel = load_mini_imagenet(opt, split="val")
+        n_cls = 80 if opt.use_trainval else (60 if opt.continual else 64)
     elif opt.dataset in ("CIFAR-FS", "FC100"):
         # the reference raises here (eval_incremental.py:82-83); we wire the
         # CIFAR continual protocol end-to-end (SURVEY.md §7 step 8)
         from subspace_reg_tpu.data.cifar import load_cifar_continual
-        load = load_cifar_continual
+        base_test = load_cifar_continual(opt, split="train", phase="test")
+        base_train = (load_cifar_continual(opt, split="train", phase="train")
+                      if opt.n_base_support_samples > 0 else None)
+        novel = load_cifar_continual(opt, split="val")
         opt.transform = "D"
+        n_cls = 60
+    elif opt.dataset == "tieredImageNet":
+        # the reference raises for tiered (eval_incremental.py:83) yet its
+        # engine carries the tiered weighting (language_eval.py:383); we wire
+        # it end-to-end: base = 351-class train_a partition with its
+        # train/val/test phase split (dataset/tiered_imagenet.py:24-35),
+        # novel episodes from the class-disjoint val partition
+        from subspace_reg_tpu.data.tiered_imagenet import load_tiered_imagenet
+        base_test = load_tiered_imagenet(opt, partition="train", phase="test")
+        base_train = (load_tiered_imagenet(opt, partition="train",
+                                           phase="train")
+                      if opt.n_base_support_samples > 0 else None)
+        novel = load_tiered_imagenet(opt, partition="val", pretrain=False)
+        n_cls = 448 if opt.use_trainval else 351
     else:
         raise NotImplementedError(opt.dataset)
 
-    # base test samples: base classes, unused-in-training samples
-    # (reference eval_incremental.py:53-57)
-    base_test = load(opt, split="train", phase="test")
-
     base_support_sampler = None
-    if opt.n_base_support_samples > 0:
-        base_train = load(opt, split="train", phase="train")
+    if base_train is not None:
         base_support_sampler = EpisodeSampler(
             base_train, opt, split="train", phase="train")
 
-    novel = load(opt, split="val")
     meta_sampler = EpisodeSampler(novel, opt, split="val",
                                   use_episodes=opt.use_episodes,
                                   disjoint_classes=True)
 
-    n_cls = 80 if opt.use_trainval else 60
-    max_classes = n_cls + MAX_SESSIONS * opt.n_ways
+    # session / episode count: the reference hardcodes 8
+    # (eval_incremental.py:123, language_eval.py:132-136).  An explicitly
+    # passed --neval_episodes (!= the 2000 parser default, configs.py:60 —
+    # a dead default upstream) overrides, bounded by the novel split's class
+    # budget since the disjoint sampler consumes 5 classes per session.
+    n_novel_classes = len(set(novel.labels))
+    budget = n_novel_classes // opt.n_ways
+    if opt.neval_episodes == 2000:
+        opt.neval_episodes = MAX_SESSIONS
+    if opt.neval_episodes > budget:
+        print(f"==> clamping sessions to the novel class budget: "
+              f"{budget} ({n_novel_classes} classes / {opt.n_ways}-way)")
+        opt.neval_episodes = budget
+    from subspace_reg_tpu.engine.incremental import session_count
+    n_sessions = session_count(opt)
+
+    max_classes = n_cls + n_sessions * opt.n_ways
     variables, head, meta = load_any(opt.model_path, max_classes=max_classes)
 
     # linear bias inferred from checkpoint (eval_incremental.py:99-105)
@@ -86,7 +118,6 @@ def main(argv=None):
         variables["counters"] = init_vars["counters"]
 
     opt.split = "val"
-    opt.neval_episodes = MAX_SESSIONS
 
     start = time.time()
     result = few_shot_finetune_incremental_test(

@@ -108,14 +108,27 @@ class SessionGeometry:
         return self.mem_add * self.max_sessions
 
 
+def session_count(opt) -> int:
+    """Sessions/episodes to run (reference eval/language_eval.py:132-136):
+    ``neval_episodes`` in general; hard 8 for miniImageNet continual
+    (':135 "Assumes miniImageNet"').  Tiered/CIFAR continual (extensions the
+    reference never wired) take the CLI-provided ``neval_episodes``."""
+    if opt.continual and opt.dataset == "miniImageNet":
+        return MAX_SESSIONS
+    return opt.neval_episodes
+
+
 def build_geometry(opt, n_base: int, img_size: int,
-                   base_eval_n: int, feat_dim: int = 640) -> SessionGeometry:
+                   base_eval_n: int, feat_dim: int = 640,
+                   max_sessions: int = None) -> SessionGeometry:
     return SessionGeometry(
         n_ways=opt.n_ways, n_shots=opt.n_shots,
         n_aug=opt.n_aug_support_samples, n_queries=opt.n_queries,
         n_base_support=(n_base if opt.n_base_support_samples > 0 else 0),
-        orig_base=n_base, max_sessions=MAX_SESSIONS, feat_dim=feat_dim,
-        img_size=img_size, base_eval_n=base_eval_n)
+        orig_base=n_base,
+        max_sessions=(session_count(opt) if max_sessions is None
+                      else max_sessions),
+        feat_dim=feat_dim, img_size=img_size, base_eval_n=base_eval_n)
 
 
 # --------------------------------------------------------------------------
@@ -383,11 +396,34 @@ def _write_tracking_csvs(opt, track_weight_rows, track_inspired_rows,
         prt("saved", path)
 
 
-def _resolve_pallas(pallas_mode: str, opt, with_bias: bool):
-    """'auto' => fused Pallas loop on TPU for the SGD/no-bias golden path."""
+def _pallas_vmem_bytes(geo: SessionGeometry) -> int:
+    """Estimated VMEM working set of the fused fine-tune kernel (all
+    operands + logits/grad work buffers, f32).  The kernel holds everything
+    resident (no grid) so large class counts — e.g. tiered's 351+40 padded
+    to 512 — can exceed the ~16MB scoped VMEM."""
+    from ..ops.pallas.finetune import _round_up
+    c = _round_up(geo.max_classes, 128)
+    d = _round_up(geo.feat_dim, 128)
+    ns = _round_up(geo.n_support, 8)
+    nm = _round_up(max(geo.max_memory, 8), 8)
+    words = ns * (d + 4 * c) + nm * (d + 4 * c) + 7 * c * d + d * d
+    return 4 * words
+
+
+def _resolve_pallas(pallas_mode: str, opt, with_bias: bool,
+                    geo: SessionGeometry = None):
+    """'auto' => fused Pallas loop on TPU for the SGD/no-bias golden path,
+    when the geometry fits the kernel's VMEM budget."""
     if pallas_mode == "off":
         return False, False
     eligible = (not opt.adam) and (not with_bias)
+    if geo is not None and _pallas_vmem_bytes(geo) > 15 * 1024 * 1024:
+        if pallas_mode in ("on", "interpret"):
+            raise ValueError(
+                "fused Pallas fine-tune loop does not fit VMEM for this "
+                f"geometry ({_pallas_vmem_bytes(geo) / 1e6:.1f}MB est.); "
+                "use pallas_mode='off' (XLA while_loop)")
+        return False, False
     if pallas_mode == "interpret":
         return eligible, True
     if pallas_mode == "on":
@@ -406,7 +442,8 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
     label_pull = opt.label_pull if getattr(opt, "pulling", "regularize") == "regularize" else None
     dist2sub = (opt.attraction_override == "distance2subspace")
     stable_mode = (opt.target_train_loss == 0)
-    use_pallas, pallas_interpret = _resolve_pallas(pallas_mode, opt, with_bias)
+    use_pallas, pallas_interpret = _resolve_pallas(pallas_mode, opt,
+                                                   with_bias, geo)
 
     def apply_eval(variables, x):
         return backbone.apply(
@@ -971,7 +1008,7 @@ def few_shot_finetune_incremental_test(
         n_active, base_x, base_y))
     weighted_avg_l.append(init_base)
 
-    iter_num = MAX_SESSIONS if opt.continual else opt.neval_episodes
+    iter_num = geo.max_sessions
     lang_state = None
     vocab_base = vocab_novel = None
 
@@ -1179,6 +1216,16 @@ def few_shot_finetune_incremental_test(
             head_b = new_b
 
         # ---- replay-memory update (language_eval.py:352-359) ----
+        if opt.memory_replay and geo.n_novel_support < 125:
+            # the reference's index math is hardcoded to 5-way/5-shot/5-aug
+            # (margin 5*arange(5), offsets arange(0,125,25)) and would index
+            # out of bounds for smaller episodes — fail with provenance
+            # instead of reproducing the crash
+            raise ValueError(
+                "memory_replay requires the 5-way/5-shot/5-aug support "
+                "layout (125 rows): the reference's replay index math is "
+                "hardcoded to it (eval/language_eval.py:354-358); got "
+                f"{geo.n_ways}-way/{geo.n_shots}-shot/{geo.n_aug}-aug")
         if opt.memory_replay:
             inds = np.random.choice(opt.n_shots, opt.memory_replay)
             margin = 5 * np.arange(5)

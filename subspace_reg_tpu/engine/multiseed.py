@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import MAX_SESSIONS
+from .incremental import session_count
 from ..data.episodes import EpisodeSampler, get_vocabs
 from ..data.transforms import transforms_test_options
 from ..models import head as head_lib
@@ -162,7 +162,7 @@ def few_shot_finetune_multiseed(
     for s_i in range(S):
         weighted[s_i].append(float(init_base[s_i]))
 
-    iter_num = MAX_SESSIONS if opt0.continual else opt0.neval_episodes
+    iter_num = session_count(opt0)
 
     for idx in range(iter_num):
         t0 = time.time()

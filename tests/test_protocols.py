@@ -1,0 +1,269 @@
+"""Protocol coverage beyond the mini-continual golden path:
+
+* the NON-CONTINUAL evaluation protocol (reference eval/language_eval.py:
+  132-136 — iter_num = neval_episodes episodes of the same growing loop; the
+  reference never resets the net per episode despite its stale comment at
+  :105, and its CLI hardcodes 8 episodes at eval_incremental.py:123),
+* tieredImageNet FSCIL end-to-end (the reference raises at
+  eval_incremental.py:83; its engine already carries the w1=200 weighting at
+  language_eval.py:383 — we wire the whole path).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from subspace_reg_tpu.data import synthetic
+from subspace_reg_tpu.data.episodes import EpisodeSampler
+from subspace_reg_tpu.data.mini_imagenet import load_mini_imagenet
+from subspace_reg_tpu.data.tiered_imagenet import load_tiered_imagenet
+from subspace_reg_tpu.engine.incremental import (
+    few_shot_finetune_incremental_test,
+    session_count,
+)
+from subspace_reg_tpu.models import head as head_lib
+from subspace_reg_tpu.models.resnet import ResNetRFS
+
+
+class Opt:
+    model = "resnet12"
+    dataset = "miniImageNet"
+    transform = "A"
+    continual = True
+    set_seed = 3
+    n_ways = 5
+    n_shots = 2
+    n_queries = 3
+    n_test_runs = 10
+    eval_mode = "few-shot-incremental-fine-tune"
+    n_aug_support_samples = 2
+    n_base_aug_support_samples = 0
+    n_base_support_samples = 1
+    test_base_batch_size = 100
+    neval_episodes = 8
+    memory_replay = 1
+    lmbd_reg_transform_w = 0.2
+    lmbd_reg_novel = 0.1
+    label_pull = None
+    pulling = "regularize"
+    attraction_override = None
+    target_train_loss = 0.0
+    stable_epochs = 3
+    convergence_epsilon = 1e-3
+    min_novel_epochs = 3
+    max_novel_epochs = 12
+    learning_rate = 0.002
+    weight_decay = 5e-3
+    momentum = 0.9
+    adam = False
+    freeze_backbone_at = 1
+    no_dropblock = True
+    glove = False
+    use_synonyms = False
+    temperature = 1.0
+    word_embed_size = 500
+    word_embed_path = None
+    use_episodes = False
+    verbose = False
+
+
+def _tiny_backbone(img=16):
+    bb = ResNetRFS(n_blocks=(1, 1, 1, 1), drop_rate=0.1, no_dropblock=True,
+                   avg_pool=True, widths=(8, 16, 24, 32))
+    variables = dict(bb.init(jax.random.PRNGKey(1),
+                             jnp.zeros((2, img, img, 3)), train=False))
+    return bb, variables
+
+
+def test_session_count_rules():
+    opt = Opt()
+    assert session_count(opt) == 8            # mini continual: hard 8
+    opt.neval_episodes = 20
+    assert session_count(opt) == 8
+    opt.continual = False
+    assert session_count(opt) == 20           # non-continual: neval_episodes
+    opt.dataset = "tieredImageNet"
+    opt.continual = True
+    assert session_count(opt) == 20           # tiered continual: CLI-provided
+
+
+def test_non_continual_20_episodes(tmp_path):
+    """20 random (non-disjoint) episodes through the growing loop: classifier
+    grows by 5 rows per episode past the 64 category-split base classes,
+    buffers are sized from the episode count, meters stay finite."""
+    root = str(tmp_path / "mini")
+    synthetic.make_mini_imagenet_category_split(root, per_class=8,
+                                                img_size=16, seed=0)
+    opt = Opt()
+    opt.continual = False
+    opt.neval_episodes = 20
+    opt.n_base_support_samples = 0       # reference non-continual default
+    # memory replay's index math is hardcoded to 5/5/5 episodes
+    # (language_eval.py:354-358) — off here, like the non-continual usage
+    opt.memory_replay = 0
+    opt.data_root = root
+
+    base_test = load_mini_imagenet(opt, split="train", phase="test")
+    novel = load_mini_imagenet(opt, split="val")
+    assert len(set(novel.labels)) == 16
+
+    bb, variables = _tiny_backbone()
+    head0 = head_lib.init_head(jax.random.PRNGKey(2), 64, in_dim=32,
+                               with_bias=False, max_classes=64 + 20 * 5)
+    sampler = EpisodeSampler(novel, opt, split="val",
+                             disjoint_classes=False)   # random episodes
+    res = few_shot_finetune_incremental_test(
+        bb, variables, head0, {}, opt, meta_sampler=sampler,
+        base_test_split=base_test, verbose=False, pallas_mode="off")
+
+    assert len(res.acc_novel_list) == 20
+    assert len(res.weighted_avg_l) == 21       # initial base + 20 episodes
+    for i, tr in enumerate(res.novel_session_traces):
+        assert len(tr) == i + 1                # query collection grows
+    assert np.isfinite(res.acc_novel_avg)
+    assert np.isfinite(res.acc_base_avg)
+    assert 0.0 <= res.acc_novel_avg <= 100.0
+
+
+def test_tiered_fscil_8_sessions(tmp_path):
+    """8-session tiered FSCIL on synthetic npz data: 80 base classes, novel
+    episodes from the disjoint val partition, w1=200 weighting
+    (language_eval.py:383)."""
+    root = str(tmp_path / "tiered")
+    synthetic.make_tiered(root, n_classes=80, per_class=8, img_size=16,
+                          seed=0)
+    opt = Opt()
+    opt.dataset = "tieredImageNet"
+    opt.continual = True
+    opt.neval_episodes = 8
+    opt.data_root = root
+    opt.label_pull = 1.0
+    opt.attraction_override = "distance2subspace"
+    opt.memory_replay = 0      # replay index math needs 5/5/5 episodes
+
+    base_test = load_tiered_imagenet(opt, partition="train", phase="test")
+    base_train = load_tiered_imagenet(opt, partition="train", phase="train")
+    novel = load_tiered_imagenet(opt, partition="val", pretrain=False)
+    assert len(set(novel.labels)) == 40
+
+    bb, variables = _tiny_backbone()
+    n_base = 80
+    head0 = head_lib.init_head(jax.random.PRNGKey(2), n_base, in_dim=32,
+                               with_bias=False, max_classes=n_base + 8 * 5)
+    sampler = EpisodeSampler(novel, opt, split="val", disjoint_classes=True)
+    base_support = EpisodeSampler(base_train, opt, split="train",
+                                  phase="train")
+    res = few_shot_finetune_incremental_test(
+        bb, variables, head0, {}, opt, meta_sampler=sampler,
+        base_test_split=base_test, base_support_sampler=base_support,
+        verbose=False, pallas_mode="off")
+
+    assert len(res.acc_novel_list) == 8
+    assert len(res.weighted_avg_l) == 9
+    # w1=200 weighting: weighted avg uses (200*base + w2*novel)/(200+w2)
+    w2 = (n_base + 5) - 60    # reference's hardcoded -60 quirk survives
+    expect0 = round((200 * res.acc_base_list[0]
+                     + w2 * res.acc_novel_list[0]) / (200 + w2), 2)
+    assert res.weighted_avg_l[1] == pytest.approx(expect0, abs=0.015)
+    assert np.isfinite(res.acc_novel_avg)
+
+
+def test_tiered_cli_wiring(tmp_path, monkeypatch):
+    """eval_incremental CLI accepts tieredImageNet: loaders built from the
+    npz layout, head padded to 351 + sessions*5, engine invoked."""
+    import eval_incremental
+    from subspace_reg_tpu.utils.checkpoint import save_checkpoint
+
+    root = str(tmp_path / "data")
+    synthetic.make_tiered(os.path.join(root, "tieredImageNet"),
+                          n_classes=351, per_class=3, img_size=8, seed=0)
+
+    backbone = ResNetRFS(n_blocks=(1, 1, 2, 2), drop_rate=0.1,
+                         no_dropblock=True, avg_pool=True)
+    variables = backbone.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 8, 8, 3)), train=False)
+    head = head_lib.init_head(jax.random.PRNGKey(1), 351, in_dim=640,
+                              with_bias=False, max_classes=351)
+    ckpt = str(tmp_path / "resnet18_last.ckpt")
+    save_checkpoint(ckpt, dict(variables), head, {})
+
+    captured = {}
+
+    def fake_engine(backbone, variables, head, meta, opt, **kw):
+        captured["n_active"] = int(head.n_active)
+        captured["max_classes"] = head.weight.shape[0]
+        captured["sessions"] = session_count(opt)
+        captured["novel_classes"] = len(
+            set(kw["meta_sampler"].base.labels))
+
+        class R:
+            acc_novel_avg = 1.0
+            acc_base_avg = 2.0
+            acc_average = 1.5
+        return R()
+
+    monkeypatch.setattr(eval_incremental,
+                        "few_shot_finetune_incremental_test", fake_engine)
+    eval_incremental.main([
+        "--model_path", ckpt, "--model", "resnet18", "--dataset",
+        "tieredImageNet", "--no_dropblock", "--data_root", root,
+        "--n_shots", "1", "--classifier", "linear",
+        "--eval_mode", "few-shot-incremental-fine-tune",
+        "--continual", "--set_seed", "1",
+    ])
+    assert captured["n_active"] == 351
+    assert captured["sessions"] == 8
+    assert captured["max_classes"] == 351 + 8 * 5
+    assert captured["novel_classes"] == 175
+
+
+def test_non_continual_cli_clamps_to_class_budget(tmp_path, monkeypatch):
+    """Non-continual CLI: the disjoint sampler consumes 5 classes/session, so
+    the 16-class val split bounds sessions at 3 (the reference would crash at
+    session 4 — documented deviation)."""
+    import eval_incremental
+    from subspace_reg_tpu.utils.checkpoint import save_checkpoint
+
+    root = str(tmp_path / "data")
+    synthetic.make_mini_imagenet_category_split(
+        os.path.join(root, "miniImageNet"), per_class=6, img_size=8, seed=0)
+
+    backbone = ResNetRFS(n_blocks=(1, 1, 2, 2), drop_rate=0.1,
+                         no_dropblock=True, avg_pool=True)
+    variables = backbone.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 8, 8, 3)), train=False)
+    head = head_lib.init_head(jax.random.PRNGKey(1), 64, in_dim=640,
+                              with_bias=False, max_classes=64)
+    ckpt = str(tmp_path / "resnet18_last.ckpt")
+    save_checkpoint(ckpt, dict(variables), head, {})
+
+    captured = {}
+
+    def fake_engine(backbone, variables, head, meta, opt, **kw):
+        captured["sessions"] = session_count(opt)
+        captured["max_classes"] = head.weight.shape[0]
+
+        class R:
+            acc_novel_avg = 1.0
+            acc_base_avg = 2.0
+            acc_average = 1.5
+        return R()
+
+    monkeypatch.setattr(eval_incremental,
+                        "few_shot_finetune_incremental_test", fake_engine)
+    eval_incremental.main([
+        "--model_path", ckpt, "--model", "resnet18", "--dataset",
+        "miniImageNet", "--no_dropblock", "--data_root", root,
+        "--n_shots", "1", "--classifier", "linear",
+        "--eval_mode", "few-shot-incremental-fine-tune",
+        "--set_seed", "1",
+    ])
+    assert captured["sessions"] == 3           # 16 val classes // 5-way
+    assert captured["max_classes"] == 64 + 3 * 5
