@@ -85,7 +85,14 @@ class TorchBatchNorm(nn.Module):
             axes = tuple(range(x.ndim - 1))
             if sample_mask is None:
                 mean = jnp.mean(x_stats, axes)
-                # biased variance for normalization (torch train mode)
+                # biased variance for normalization (torch train mode).
+                # Deliberately the single-pass E[x^2]-E[x]^2 form: stable
+                # alternatives (two-pass centered, or a dependent per-channel
+                # anchor) each cost one extra/serialized HBM pass per BN,
+                # measured at -8% pretraining throughput on v5e.  The price
+                # is cancellation noise that amplifies reduction-order
+                # differences: sharded-vs-single-device gradients agree only
+                # to ~1e-3 of max|param| (see tests/test_multichip_equiv.py).
                 var = jnp.mean(jnp.square(x_stats), axes) - jnp.square(mean)
                 n = jnp.asarray(x.size // self.features, jnp.float32)
             else:

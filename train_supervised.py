@@ -218,18 +218,33 @@ def main(argv=None):
     # slow; see engine/pretrain.py make_train_step_device_data)
     device_data_max = int(os.environ.get("DEVICE_DATA_MAX_BYTES",
                                          2 * 1024 ** 3))
-    use_device_data = (mesh is None
-                       and train_split.imgs.nbytes <= device_data_max)
+    use_device_data = train_split.imgs.nbytes <= device_data_max
     if use_device_data:
         print(f"==> staging dataset in HBM "
-              f"({train_split.imgs.nbytes / 1e6:.0f} MB)")
-        data_dev = jax.device_put(np.ascontiguousarray(train_split.imgs))
-        labels_dev = jax.device_put(train_labels)
-        val_dev = jax.device_put(np.ascontiguousarray(val_split.imgs))
+              f"({train_split.imgs.nbytes / 1e6:.0f} MB)"
+              + (f" x{mesh.devices.size} devices (replicated store, "
+                 f"sharded index gather)" if mesh is not None else ""))
+        # under a mesh the uint8 store is replicated per device and the
+        # per-step index vector is sharded over the 'data' axis: the gather
+        # yields a batch already sharded for DP with zero communication —
+        # composing the device-resident dataset with mesh DP (the round-1
+        # gap: multi-chip runs regressed to host streaming)
+        if mesh is not None:
+            repl = mesh_lib.replicated(mesh)
+            data_dev = jax.device_put(
+                np.ascontiguousarray(train_split.imgs), repl)
+            labels_dev = jax.device_put(train_labels, repl)
+            val_dev = jax.device_put(
+                np.ascontiguousarray(val_split.imgs), repl)
+        else:
+            data_dev = jax.device_put(np.ascontiguousarray(train_split.imgs))
+            labels_dev = jax.device_put(train_labels)
+            val_dev = jax.device_put(np.ascontiguousarray(val_split.imgs))
         if nce_state is None:
             step_dd = pt.make_train_step_device_data(
                 backbone, tx, train_spec, with_bias=opt.linear_bias,
                 label_pull=opt.label_pull, pull_embeds=pull_embeds,
+                mesh=mesh,
                 teacher=teacher if opt.distill == "kd" else None,
                 kd_temperature=opt.kd_T,
                 kd_alpha=opt.kd_alpha, kd_beta=opt.kd_beta)
@@ -312,6 +327,8 @@ def main(argv=None):
                     bsz = int(idxs.shape[0])
                 elif use_device_data:
                     idxs, _ = item
+                    if mesh is not None:
+                        idxs = mesh_lib.shard_batch(mesh, idxs)
                     state, m = step_dd(state, data_dev, labels_dev,
                                        idxs, key)
                     bsz = int(idxs.shape[0])
