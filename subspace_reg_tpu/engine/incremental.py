@@ -31,7 +31,9 @@ replay-memory index draw continues the stream — language_eval.py:352-359).
 Execution modes (selected automatically):
   * compiled session program (default) with the fused Pallas fine-tune loop
     on TPU (``pallas_mode='auto'``) or the stop-masked XLA while_loop;
-  * per-epoch tracked mode for --track_weights / --verbose observability;
+  * per-epoch tracked mode for --track_weights / vis observability
+    (--verbose does NOT switch engines: the compiled paths record a
+    per-epoch loss/acc trace on device and the host prints from it);
   * general ``freeze_backbone_at != 1`` mode (full-backbone fine-tuning
     until the freeze epoch);
   * a vmapped multi-seed variant lives in engine/multiseed.py.
@@ -134,7 +136,8 @@ def build_geometry(opt, n_base: int, img_size: int,
 # --------------------------------------------------------------------------
 # the jitted session program
 # --------------------------------------------------------------------------
-def _run_pallas_loop(opt, geo, params, mom_e1, l1, stable_epochs,
+def _run_pallas_loop(opt, geo, params, mom_e1, l1, a1_e1, a5_e1,
+                     stable_epochs,
                      f_sup, support_y, f_mem, memory_y, memory_count,
                      w0, reserved, n_reserved, sem_pullers, n_active,
                      memory_on, lmbd_base, lmbd_novel, label_pull, dist2sub,
@@ -195,52 +198,37 @@ def _run_pallas_loop(opt, geo, params, mom_e1, l1, stable_epochs,
         max_epochs=opt.max_novel_epochs, stable_target=opt.stable_epochs,
         n_active=n_active, n_reserved=n_reserved, mem_count=memory_count,
         prev_loss0=l1, stable0=stable_epochs, orig_base=geo.orig_base,
-        n_ways=geo.n_ways)
+        n_ways=geo.n_ways, acc1_0=a1_e1, acc5_0=a5_e1)
 
-    w_out, stats = finetune_loop_pallas(
+    w_out, stats, trace_raw = finetune_loop_pallas(
         f_sup_p, oh_sup, rm_sup, f_mem_p, oh_mem, rm_mem,
         w_p, mom_p, w0_p, res_p, pull_M, pull_T, scalars,
         n_sup=geo.n_support, memory_on=memory_on,
         use_regbase=(lmbd_base is not None),
         use_regnovel=(lmbd_novel is not None),
         pull_mode=pull_mode, stable_mode=stable_mode,
-        orig_base=geo.orig_base, n_ways=geo.n_ways, interpret=interpret)
+        orig_base=geo.orig_base, n_ways=geo.n_ways,
+        trace_rows=_trace_rows(opt), interpret=interpret)
 
     w = w_out[: geo.max_classes, : geo.feat_dim]
     params = {"w": w}
     train_loss = stats[0, 0]
     epoch = stats[0, 1].astype(jnp.int32)
-    logits = f_sup @ w.T
-    logits = jnp.where(jnp.arange(geo.max_classes)[None, :] < n_active,
-                       logits, head_lib.NEG_INF)
-    acc1, acc5 = losses.accuracy_topk(logits, support_y)
-    return params, train_loss, epoch, acc1, acc5
+    # support accuracy of the LAST TRAINING EPOCH's forward (pre-update
+    # weights) — same semantics as the XLA while_loop path and the
+    # reference's per-epoch ``accuracy(output, ...)``
+    acc1, acc5 = stats[0, 3], stats[0, 4]
+    trace = trace_raw[:, :3].at[1].set(jnp.stack([l1, a1_e1, a5_e1]))
+    return params, train_loss, epoch, acc1, acc5, trace
 
 
-def _run_tracked(fns, opt, geo, prt, run_vars, head_w, head_b, n_active,
-                 w0, b0, reserved, n_reserved, support_x, support_ys_id,
-                 memory_data, memory_labels, memory_count, query_buf,
-                 query_y_buf, idx, base_x, base_y, sem_pullers, with_bias,
-                 vocab_base, vocab_novel,
-                 track_weight_rows, track_inspired_rows):
-    """Per-epoch host loop for the tracking/verbose observability paths
-    (reference language_eval.py:310-315,328-342).  Slower than the compiled
-    session program (one device sync per epoch) — only used when tracking
-    artifacts or per-epoch prints are requested."""
-    support_y = jnp.asarray(support_ys_id)
-    out = fns["prepare"](
-        run_vars, jnp.asarray(head_w), jnp.asarray(head_b),
-        jnp.asarray(n_active, jnp.int32), jnp.asarray(w0), jnp.asarray(b0),
-        jnp.asarray(reserved), jnp.asarray(n_reserved, jnp.int32),
-        support_x, support_y, memory_data, memory_labels,
-        jnp.asarray(memory_count, jnp.int32), query_buf, base_x,
-        jnp.asarray(sem_pullers),
-        jax.random.PRNGKey(opt.set_seed * 31 + idx))
-    (params, opt_state, loss, a1, a5, stable, stop,
-     f_sup, f_mem, f_query, f_base, bstats, counters) = out
-
-    def record(epoch, params):
-        w = np.asarray(params["w"])
+def _make_recorder(opt, geo, idx, n_active, w0, sem_pullers,
+                   vocab_base, vocab_novel,
+                   track_weight_rows, track_inspired_rows):
+    """Per-epoch weight-tracking recorder shared by the tracked and
+    general-freeze paths (reference language_eval.py:328-342)."""
+    def record(epoch, w):
+        w = np.asarray(w)
         if getattr(opt, "track_weights", False):
             for k, lbl in enumerate(vocab_base):
                 track_weight_rows.append(
@@ -260,6 +248,64 @@ def _run_tracked(fns, opt, geo, prt, run_vars, head_w, head_b, n_active,
                 insp = np.asarray(sem_pullers)
             for k, lbl in enumerate(vocab_novel):
                 track_inspired_rows.append([idx, lbl, epoch, insp[k].copy()])
+    return record
+
+
+def _print_epoch_line(prt, epoch, loss, a1, a5):
+    """The reference's per-10-epoch fine-tune print
+    (language_eval.py:310-315)."""
+    prt("Novel Epoch {:4d}\t"
+        "Train Loss {:10.4f}\t"
+        "Acc@1 {:10.3f}\t"
+        "Acc@5 {:10.3f}".format(epoch, float(loss), float(a1), float(a5)))
+
+
+def _run_tracked(fns, opt, geo, prt, run_vars, head_w, head_b, n_active,
+                 w0, b0, reserved, n_reserved, support_x, support_ys_id,
+                 memory_data, memory_labels, memory_count, query_buf,
+                 query_y_buf, idx, base_x, base_y, sem_pullers, with_bias,
+                 vocab_base, vocab_novel,
+                 track_weight_rows, track_inspired_rows,
+                 vocab_all=None, vis_rows=None, novelimgs=None):
+    """Per-epoch host loop for the tracking/vis observability paths
+    (reference language_eval.py:328-349).  Slower than the compiled
+    session program (one device sync per epoch) — only used when per-epoch
+    artifacts (tracking CSVs, vis frames) are requested."""
+    support_y = jnp.asarray(support_ys_id)
+    out = fns["prepare"](
+        run_vars, jnp.asarray(head_w), jnp.asarray(head_b),
+        jnp.asarray(n_active, jnp.int32), jnp.asarray(w0), jnp.asarray(b0),
+        jnp.asarray(reserved), jnp.asarray(n_reserved, jnp.int32),
+        support_x, support_y, memory_data, memory_labels,
+        jnp.asarray(memory_count, jnp.int32), query_buf, base_x,
+        jnp.asarray(sem_pullers),
+        jax.random.PRNGKey(opt.set_seed * 31 + idx))
+    (params, opt_state, loss, a1, a5, stable, stop,
+     f_sup, f_mem, f_query, f_base, bstats, counters) = out
+
+    record_w = _make_recorder(opt, geo, idx, n_active, w0, sem_pullers,
+                              vocab_base, vocab_novel,
+                              track_weight_rows, track_inspired_rows)
+
+    def record(epoch, params):
+        record_w(epoch, params["w"])
+        if vis_rows is not None and idx == 0 and novelimgs is not None:
+            # per-epoch session-0 prediction frame (reference vis path,
+            # language_eval.py:345-349 — which crashes in the reference:
+            # validate() returns a LIST of per-session pred arrays but the
+            # vis block indexes it per query; implemented as intended here)
+            from ..utils.artifacts import image_formatter
+            _, _, q_preds, _, _ = fns["final_eval"](
+                params, f_query, jnp.asarray(query_y_buf),
+                jnp.asarray(idx + 1, jnp.int32), f_base, base_y,
+                jnp.asarray(n_active, jnp.int32))
+            nq = geo.n_query_per_session
+            preds = np.asarray(q_preds)[:nq]
+            for i in range(nq):
+                vis_rows.append(
+                    [idx, vocab_all[int(query_y_buf[i])], False,
+                     vocab_all[int(preds[i])],
+                     image_formatter(novelimgs[i])])
 
     epoch = 1
     record(epoch, params)
@@ -274,9 +320,7 @@ def _run_tracked(fns, opt, geo, prt, run_vars, head_w, head_b, n_active,
         epoch = int(epoch_j)
         record(epoch, params)
         if getattr(opt, "verbose", False) and epoch % 10 == 0:
-            prt("Novel Epoch {:4d}\tTrain Loss {:10.4f}\t"
-                "Acc@1 {:10.3f}\tAcc@5 {:10.3f}".format(
-                    epoch, float(loss), float(a1), float(a5)))
+            _print_epoch_line(prt, epoch, loss, a1, a5)
 
     chunk_accs, chunk_valid, q_preds, base_acc, b_preds = fns["final_eval"](
         params, f_query, jnp.asarray(query_y_buf),
@@ -297,13 +341,21 @@ def _run_general_freeze(fns, opt, geo, prt, run_vars, head_w, head_b,
                         n_active, w0, b0, reserved, n_reserved, support_x,
                         support_ys_id, memory_data, memory_labels,
                         memory_count, query_buf, query_y_buf, idx, base_x,
-                        base_y, sem_pullers, with_bias):
+                        base_y, sem_pullers, with_bias,
+                        vocab_base=None, vocab_novel=None,
+                        track_weight_rows=None, track_inspired_rows=None):
     """freeze_backbone_at != 1: epochs 1..freeze_at-1 train the backbone too
     (epoch 1 train-mode BN, later epochs eval-mode — reference
     eval/util.py:62-69 + the validate() eval-mode carryover), then the run
     switches to the cached-feature head loop with the surviving momentum."""
     support_y = jnp.asarray(support_ys_id)
     head_keys = ("w", "b") if with_bias else ("w",)
+    record_w = (lambda *_: None)
+    if track_weight_rows is not None and vocab_base is not None:
+        record_w = _make_recorder(opt, geo, idx, n_active, w0, sem_pullers,
+                                  vocab_base, vocab_novel,
+                                  track_weight_rows, track_inspired_rows)
+    verbose_flag = getattr(opt, "verbose", False)
     out = fns["prepare_full"](
         run_vars, jnp.asarray(head_w), jnp.asarray(head_b),
         jnp.asarray(n_active, jnp.int32), jnp.asarray(w0), jnp.asarray(b0),
@@ -315,6 +367,7 @@ def _run_general_freeze(fns, opt, geo, prt, run_vars, head_w, head_b,
      bstats, counters) = out
 
     epoch = 1
+    record_w(epoch, full_params["w"])
     freeze_at = opt.freeze_backbone_at
     while not bool(stop) and (epoch + 1) < freeze_at:
         (full_params, opt_state, loss, stable, epoch_j, stop, a1, a5) = \
@@ -327,6 +380,9 @@ def _run_general_freeze(fns, opt, geo, prt, run_vars, head_w, head_b,
                 jnp.asarray(n_reserved, jnp.int32),
                 jnp.asarray(sem_pullers), jnp.asarray(n_active, jnp.int32))
         epoch = int(epoch_j)
+        record_w(epoch, full_params["w"])
+        if verbose_flag and epoch % 10 == 0:
+            _print_epoch_line(prt, epoch, loss, a1, a5)
 
     variables_now = {"params": full_params["backbone"],
                      "batch_stats": bstats, "counters": counters}
@@ -345,6 +401,9 @@ def _run_general_freeze(fns, opt, geo, prt, run_vars, head_w, head_b,
                 jnp.asarray(n_reserved, jnp.int32), jnp.asarray(sem_pullers),
                 jnp.asarray(n_active, jnp.int32))
         epoch = int(epoch_j)
+        record_w(epoch, params["w"])
+        if verbose_flag and epoch % 10 == 0:
+            _print_epoch_line(prt, epoch, loss, a1, a5)
 
     chunk_accs, chunk_valid, q_preds, base_acc, b_preds = fns["final_eval"](
         params, f_query, jnp.asarray(query_y_buf),
@@ -396,7 +455,13 @@ def _write_tracking_csvs(opt, track_weight_rows, track_inspired_rows,
         prt("saved", path)
 
 
-def _pallas_vmem_bytes(geo: SessionGeometry) -> int:
+def _trace_rows(opt) -> int:
+    """Rows of the per-epoch (loss, acc1, acc5) trace buffer: one row per
+    possible epoch (1..max_novel_epochs), sublane-aligned."""
+    return ((int(opt.max_novel_epochs) + 2 + 7) // 8) * 8
+
+
+def _pallas_vmem_bytes(geo: SessionGeometry, opt=None) -> int:
     """Estimated VMEM working set of the fused fine-tune kernel (all
     operands + logits/grad work buffers, f32).  The kernel holds everything
     resident (no grid) so large class counts — e.g. tiered's 351+40 padded
@@ -406,7 +471,9 @@ def _pallas_vmem_bytes(geo: SessionGeometry) -> int:
     d = _round_up(geo.feat_dim, 128)
     ns = _round_up(geo.n_support, 8)
     nm = _round_up(max(geo.max_memory, 8), 8)
+    tr = _trace_rows(opt) if opt is not None else 8
     words = ns * (d + 4 * c) + nm * (d + 4 * c) + 7 * c * d + d * d
+    words += tr * 128
     return 4 * words
 
 
@@ -417,12 +484,12 @@ def _resolve_pallas(pallas_mode: str, opt, with_bias: bool,
     if pallas_mode == "off":
         return False, False
     eligible = (not opt.adam) and (not with_bias)
-    if geo is not None and _pallas_vmem_bytes(geo) > 15 * 1024 * 1024:
+    if geo is not None and _pallas_vmem_bytes(geo, opt) > 15 * 1024 * 1024:
         if pallas_mode in ("on", "interpret"):
             raise ValueError(
                 "fused Pallas fine-tune loop does not fit VMEM for this "
-                f"geometry ({_pallas_vmem_bytes(geo) / 1e6:.1f}MB est.); "
-                "use pallas_mode='off' (XLA while_loop)")
+                f"geometry ({_pallas_vmem_bytes(geo, opt) / 1e6:.1f}MB "
+                "est.); use pallas_mode='off' (XLA while_loop)")
         return False, False
     if pallas_mode == "interpret":
         return eligible, True
@@ -765,8 +832,9 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
         if use_pallas:
             # fused on-chip loop (ops/pallas/finetune.py): ~5 us/epoch on
             # v5e vs per-epoch dispatch under lax.while_loop
-            params, train_loss, epoch, acc1, acc5 = _run_pallas_loop(
-                opt, geo, params, mom_e1, l1, stable_epochs,
+            (params, train_loss, epoch, acc1, acc5,
+             epoch_trace) = _run_pallas_loop(
+                opt, geo, params, mom_e1, l1, a1, a5, stable_epochs,
                 f_sup, support_y, f_mem, memory_y, memory_count,
                 w0, reserved, n_reserved, sem_pullers, n_active,
                 memory_on, lmbd_base, lmbd_novel, label_pull, dist2sub,
@@ -777,13 +845,17 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
                 return jnp.any(~c[5])
 
             def body(c):
-                p0, s0, prev_loss, st_ep0, epoch0, stopped, a1_0, a5_0 = c
+                (p0, s0, prev_loss, st_ep0, epoch0, stopped, a1_0, a5_0,
+                 tr0) = c
                 epoch = epoch0 + 1
                 (l, (acc1, acc5)), g = jax.value_and_grad(
                     loss_fn, has_aux=True)(p0, f_sup, f_mem)
                 upd, s = tx.update(g, s0, p0)
                 p = optax.apply_updates(p0, upd)
                 st_ep, stp = stop_update(l, prev_loss, st_ep0, epoch)
+                # per-epoch (loss, acc1, acc5) observability trace
+                tr = jax.lax.dynamic_update_slice(
+                    tr0, jnp.stack([l, acc1, acc5])[None, :], (epoch, 0))
                 # freeze already-stopped lanes (no-op when unbatched: the
                 # loop exits as soon as stop flips; required for vmapped
                 # multi-seed execution where lanes stop at different epochs)
@@ -795,11 +867,15 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
                         jnp.where(stopped, epoch0, epoch),
                         stopped | stp,
                         jnp.where(stopped, a1_0, acc1),
-                        jnp.where(stopped, a5_0, acc5))
+                        jnp.where(stopped, a5_0, acc5),
+                        jnp.where(stopped, tr0, tr))
 
+            trace0 = jnp.zeros((_trace_rows(opt), 3), jnp.float32)
+            trace0 = trace0.at[1].set(jnp.stack([l1, a1, a5]))
             carry = (params, opt_state, l1, stable_epochs,
-                     jnp.asarray(1, jnp.int32), stop, a1, a5)
-            params, opt_state, train_loss, stable_epochs, epoch, _, acc1, acc5 = \
+                     jnp.asarray(1, jnp.int32), stop, a1, a5, trace0)
+            (params, opt_state, train_loss, stable_epochs, epoch, _,
+             acc1, acc5, epoch_trace) = \
                 jax.lax.while_loop(cond, body, carry)
 
         # ---- final evaluation ----
@@ -814,6 +890,7 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
             "base_acc": base_acc, "train_loss": train_loss,
             "epochs": epoch, "support_acc1": acc1, "support_acc5": acc5,
             "query_preds": q_preds, "base_preds": b_preds,
+            "epoch_trace": epoch_trace,
         }
         return (new_head_w, new_head_b, vars2["batch_stats"],
                 vars2["counters"], metrics)
@@ -898,8 +975,15 @@ def few_shot_finetune_incremental_test(
         meta_sampler: EpisodeSampler,
         base_test_split, base_support_sampler=None,
         base_split_for_vocab=None, verbose: bool = True,
-        pallas_mode: str = "auto") -> IncrementalResult:
-    """Run the multi-session protocol. Mirrors language_eval.py:71-454."""
+        pallas_mode: str = "auto", vis: bool = False):
+    """Run the multi-session protocol. Mirrors language_eval.py:71-454.
+
+    Returns an :class:`IncrementalResult` — or, when ``vis=True``, a pandas
+    DataFrame of per-epoch session-0 prediction frames (columns
+    ``['idx','class','isbase','predicted','img']``), matching the
+    reference's ``vis`` contract (language_eval.py:81-83,345-349,449-450;
+    the reference's own vis block crashes on its list-typed preds — this
+    implements the intended behavior)."""
 
     prt = print if verbose else (lambda *a, **k: None)
     np.random.seed(opt.set_seed)
@@ -939,11 +1023,17 @@ def few_shot_finetune_incremental_test(
     fns = make_session_fn(backbone, opt, geo, with_bias,
                           pallas_mode=pallas_mode)
     session_fn = fns["session"]
+    # --verbose does NOT select the per-epoch engine: the compiled session
+    # program records a per-epoch (loss, acc1, acc5) trace on device and the
+    # reference's per-10-epoch lines (language_eval.py:310-315) are printed
+    # from it after the session completes.  Only the tracking-CSV / vis
+    # artifacts genuinely need per-epoch host access.
     tracked = bool(getattr(opt, "track_weights", False)
                    or getattr(opt, "track_label_inspired_weights", False)
-                   or getattr(opt, "verbose", False))
+                   or vis)
     track_weight_rows: List = []
     track_inspired_rows: List = []
+    vis_rows: List = [] if vis else None
     base_eval = eval_base_fn(backbone)
 
     # state threaded across sessions — device-resident so sessions can be
@@ -965,8 +1055,14 @@ def few_shot_finetune_incremental_test(
     n_reserved = 0
     # fully-async fast path: defer all metric pulls to the end of the run
     # so the 8 session programs pipeline on device without RTT stalls
+    # (--verbose stays async: its per-10-epoch lines come from the
+    # device-recorded epoch trace at metric-pull time)
     async_mode = (not tracked and opt.freeze_backbone_at == 1
                   and not bool(getattr(opt, "save_preds_0", False)))
+    # live-print paths emit output during the session, so their iteration
+    # header must print at dispatch; the compiled path prints it alongside
+    # the session's metrics
+    live_prints = tracked or opt.freeze_backbone_at != 1
     pending: List = []
     # device-resident padded buffers: updated in place on device each
     # session instead of re-uploading ~190MB of padded images from host
@@ -1015,6 +1111,15 @@ def few_shot_finetune_incremental_test(
     def _process_session_metrics(idx, metrics, vocab_base_s, vocab_novel_s,
                                  novel_labels, t0):
         """Per-session metric bookkeeping (language_eval.py:370-404)."""
+        if not live_prints:
+            prt(f"\n**** Iteration {idx + 1}/{iter_num} ****\n")
+            if getattr(opt, "verbose", False):
+                tr = metrics.get("epoch_trace")
+                if tr is not None:
+                    tr = np.asarray(tr)
+                    for e in range(10, int(metrics["epochs"]) + 1, 10):
+                        _print_epoch_line(prt, e, tr[e, 0], tr[e, 1],
+                                          tr[e, 2])
         chunk_accs = np.asarray(metrics["chunk_accs"])
         chunk_valid = np.asarray(metrics["chunk_valid"])
         # the reference reports the mean of per-session accs ROUNDED to two
@@ -1093,7 +1198,8 @@ def few_shot_finetune_incremental_test(
     t_first_session = None
 
     for idx in range(iter_num):
-        prt(f"\n**** Iteration {idx + 1}/{iter_num} ****\n")
+        if live_prints:
+            prt(f"\n**** Iteration {idx + 1}/{iter_num} ****\n")
         t0 = time.time()
         ep = meta_sampler.get(idx)
 
@@ -1135,6 +1241,7 @@ def few_shot_finetune_incremental_test(
             qry_u8 = jnp.asarray(ep.query_x)
         support_x = aug_ops.augment_batch(k_aug, sup_u8, train_spec)
         query_x = aug_ops.normalize_batch(qry_u8, test_spec)
+        novelimgs = (np.asarray(query_x) if (vis and idx == 0) else None)
 
         # grow the query collection (language_eval.py:198-204) — in place
         # on device
@@ -1187,7 +1294,9 @@ def few_shot_finetune_incremental_test(
                 fns, opt, geo, prt, run_vars, head_w, head_b, n_active,
                 w0, b0, reserved, n_reserved, support_x, support_ys_id,
                 memory_data, memory_labels, memory_count, query_buf,
-                query_y_buf, idx, base_x, base_y, sem_pullers, with_bias)
+                query_y_buf, idx, base_x, base_y, sem_pullers, with_bias,
+                vocab_base, vocab_novel,
+                track_weight_rows, track_inspired_rows)
         elif not tracked:
             out = session_fn(
                 run_vars, head_w,
@@ -1210,7 +1319,8 @@ def few_shot_finetune_incremental_test(
                 memory_data, memory_labels, memory_count, query_buf,
                 query_y_buf, idx, base_x, base_y, sem_pullers, with_bias,
                 vocab_base, vocab_novel,
-                track_weight_rows, track_inspired_rows)
+                track_weight_rows, track_inspired_rows,
+                vocab_all=vocab_all, vis_rows=vis_rows, novelimgs=novelimgs)
         head_w = new_w
         if with_bias:
             head_b = new_b
@@ -1261,8 +1371,15 @@ def few_shot_finetune_incremental_test(
         rest = max(total - first, 0.0) / max(iter_num - 1, 1)
         secs[:] = [first] + [rest] * (iter_num - 1)
 
-    if tracked:
+    if tracked or opt.freeze_backbone_at != 1:
         _write_tracking_csvs(opt, track_weight_rows, track_inspired_rows, prt)
+
+    if vis:
+        # reference contract: vis runs return the frame dataframe instead
+        # of the accuracy tuple (language_eval.py:449-450)
+        import pandas as pd
+        return pd.DataFrame(
+            vis_rows, columns=["idx", "class", "isbase", "predicted", "img"])
 
     prt("Overall continual accuracies: ", weighted_avg_l)
     prt("Novel only incremental: ", acc_novel_list)

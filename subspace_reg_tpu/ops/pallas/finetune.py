@@ -48,13 +48,13 @@ def _round_up(x: int, m: int) -> int:
 
 def _make_kernel(cfg):
     (n_sup, memory_on, use_regbase, use_regnovel, pull_mode,
-     stable_mode, c_pad, d) = cfg
+     stable_mode, c_pad, d, trace_rows) = cfg
 
     def kernel(f_sup_ref, oh_sup_ref, rm_sup_ref,
                f_mem_ref, oh_mem_ref, rm_mem_ref,
                w_ref, mom_ref, w0_ref, reserved_ref,
                pull_op_ref, pull_tgt_ref, scalars_ref,
-               w_out_ref, stats_out_ref):
+               w_out_ref, stats_out_ref, trace_out_ref):
         f_sup = f_sup_ref[:]
         oh_sup = oh_sup_ref[:]
         rm_sup = rm_sup_ref[:]
@@ -77,6 +77,8 @@ def _make_kernel(cfg):
         mem_count = scalars_ref[13]
         prev_loss0 = scalars_ref[14]
         stable0 = scalars_ref[15]
+        acc1_0 = scalars_ref[18]
+        acc5_0 = scalars_ref[19]
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (c_pad, d), 0)
         rows_f = rows.astype(jnp.float32)
@@ -99,6 +101,17 @@ def _make_kernel(cfg):
             loss = -jnp.sum(oh_sup * logp) * (1.0 / n_sup)
             dlog = (p * rm_sup - oh_sup) * (1.0 / n_sup)
             g = jnp.dot(dlog.T, f_sup, preferred_element_type=jnp.float32)
+
+            # support top-1/top-5 from THIS epoch's (pre-update) logits —
+            # the quantity the reference prints per 10 epochs
+            # (eval/language_eval.py:308-315): rank of the true class =
+            # number of strictly-greater active-class logits
+            logit_y = jnp.sum(oh_sup * logits, axis=-1, keepdims=True)
+            higher = jnp.where((logits > logit_y) & (rm_sup > 0), 1.0, 0.0)
+            rank = jnp.sum(higher, axis=-1, keepdims=True)
+            validr = jnp.sum(oh_sup, axis=-1, keepdims=True)
+            acc1 = jnp.sum(jnp.where(rank < 1, validr, 0.0)) * (100.0 / n_sup)
+            acc5 = jnp.sum(jnp.where(rank < 5, validr, 0.0)) * (100.0 / n_sup)
 
             if memory_on:
                 f_mem = f_mem_ref[:]
@@ -146,7 +159,7 @@ def _make_kernel(cfg):
                 loss = loss + gamma * jnp.sum(diff * diff)
                 g = g + 2.0 * gamma * diff
 
-            return loss, g
+            return loss, g, acc1, acc5
 
         def sgd(w, mom, g):
             g = g + wd * w
@@ -166,13 +179,21 @@ def _make_kernel(cfg):
         def cond(carry):
             return ~carry[5]
 
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
         def body(carry):
-            w, mom, prev_loss, stable, epoch, _ = carry
+            w, mom, prev_loss, stable, epoch, _, _, _ = carry
             epoch = epoch + 1.0
-            loss, g = loss_and_grad(w)
+            loss, g, acc1, acc5 = loss_and_grad(w)
             w, mom = sgd(w, mom, g)
             stable, stop = stop_logic(loss, prev_loss, stable, epoch)
-            return (w, mom, loss, stable, epoch, stop)
+            # per-epoch (loss, acc1, acc5) trace row for observability —
+            # read back by the host for the --verbose per-10-epoch prints
+            row = jnp.where(lane == 0, loss,
+                            jnp.where(lane == 1, acc1,
+                                      jnp.where(lane == 2, acc5, 0.0)))
+            trace_out_ref[pl.dslice(epoch.astype(jnp.int32), 1), :] = row
+            return (w, mom, loss, stable, epoch, stop, acc1, acc5)
 
         # epoch 1 already ran outside (train-mode features, one SGD step);
         # ``stable0``/``prev_loss0`` carry its post-update convergence state,
@@ -185,15 +206,20 @@ def _make_kernel(cfg):
         stop_init = stop_init | ((prev_loss0 <= target_loss)
                                  & (1.0 >= min_epochs + 1.0))
 
+        trace_out_ref[:] = jnp.zeros((trace_rows, 128), jnp.float32)
         carry = (w_ref[:], mom_ref[:], prev_loss0, stable_init,
-                 jnp.asarray(1.0), stop_init)
-        w, mom, loss, stable, epoch, _ = jax.lax.while_loop(cond, body, carry)
+                 jnp.asarray(1.0), stop_init, acc1_0, acc5_0)
+        w, mom, loss, stable, epoch, _, acc1, acc5 = jax.lax.while_loop(
+            cond, body, carry)
 
         w_out_ref[:] = w
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         stats = jnp.where(lane == 0, loss,
                           jnp.where(lane == 1, epoch,
-                                    jnp.where(lane == 2, stable, 0.0)))
+                                    jnp.where(lane == 2, stable,
+                                              jnp.where(lane == 3, acc1,
+                                                        jnp.where(lane == 4,
+                                                                  acc5,
+                                                                  0.0)))))
         stats_out_ref[:] = stats
 
     return kernel
@@ -203,29 +229,35 @@ def _make_kernel(cfg):
     jax.jit,
     static_argnames=("n_sup", "memory_on", "use_regbase", "use_regnovel",
                      "pull_mode", "stable_mode", "orig_base", "n_ways",
-                     "interpret"))
+                     "trace_rows", "interpret"))
 def finetune_loop_pallas(
         f_sup, oh_sup, rm_sup, f_mem, oh_mem, rm_mem,
         w, mom, w0, reserved, pull_op, pull_tgt, scalars,
         *, n_sup: int, memory_on: bool, use_regbase: bool,
         use_regnovel: bool, pull_mode: str, stable_mode: bool,
-        orig_base: int, n_ways: int, interpret: bool = False):
+        orig_base: int, n_ways: int, trace_rows: int = 8,
+        interpret: bool = False):
     """Run the fused loop.  All arrays pre-padded by the caller:
     f_sup (Ns,D), oh/rm_sup (Ns,Cp), f_mem (Nm,D), oh/rm_mem (Nm,Cp),
     w/mom/w0/reserved/pull_tgt (Cp,D), pull_op (D,D),
     scalars (32,) f32 laid out as documented in the kernel.
-    Returns (w_final (Cp,D), stats (1,128))."""
+    ``trace_rows`` must exceed ``max_epochs`` (row e of the trace output
+    holds epoch e's pre-update (loss, acc1, acc5); rows 0-1 stay zero —
+    epoch 1 runs outside the kernel).
+    Returns (w_final (Cp,D), stats (1,128), trace (trace_rows,128))."""
     c_pad, d = w.shape
     cfg = (float(n_sup), memory_on, use_regbase, use_regnovel, pull_mode,
-           stable_mode, c_pad, d)
+           stable_mode, c_pad, d, trace_rows)
     kernel = _make_kernel(cfg)
     out = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((c_pad, d), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 128), jnp.float32)),
+                   jax.ShapeDtypeStruct((1, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((trace_rows, 128), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(f_sup, oh_sup, rm_sup, f_mem, oh_mem, rm_mem,
@@ -236,12 +268,12 @@ def finetune_loop_pallas(
 def pack_scalars(lr, wd, momentum, lmbd_base, lmbd_novel, gamma, eps,
                  target_loss, min_epochs, max_epochs, stable_target,
                  n_active, n_reserved, mem_count, prev_loss0, stable0,
-                 orig_base, n_ways) -> jnp.ndarray:
+                 orig_base, n_ways, acc1_0=0.0, acc5_0=0.0) -> jnp.ndarray:
     s = jnp.zeros((32,), jnp.float32)
     vals = [lr, wd, momentum, lmbd_base, lmbd_novel, gamma, eps,
             target_loss, min_epochs, max_epochs, stable_target,
             n_active, n_reserved, mem_count, prev_loss0, stable0,
-            orig_base, n_ways]
+            orig_base, n_ways, acc1_0, acc5_0]
     for i, v in enumerate(vals):
         s = s.at[i].set(jnp.asarray(v, jnp.float32))
     return s

@@ -90,7 +90,7 @@ def env(tmp_path_factory):
                 head0=head0)
 
 
-def _run(env, pallas_mode="off", **overrides):
+def _run(env, pallas_mode="off", vis=False, **overrides):
     opt = env["opt"]
     for k, v in overrides.items():
         setattr(opt, k, v)
@@ -102,7 +102,7 @@ def _run(env, pallas_mode="off", **overrides):
         env["backbone"], env["variables"], env["head0"], {}, opt,
         meta_sampler=meta_sampler, base_test_split=env["base_test"],
         base_support_sampler=base_support, verbose=False,
-        pallas_mode=pallas_mode)
+        pallas_mode=pallas_mode, vis=vis)
 
 
 def test_finetune_with_memory(env):
@@ -232,3 +232,110 @@ def test_base_regularizer_anchors_base_rows(env):
     # base rows barely move => base acc approx initial base acc
     init_base = res_big.weighted_avg_l[0]
     assert abs(res_big.acc_base_list[0] - init_base) < 10.0
+
+
+def test_verbose_prints_from_compiled_path(env, capsys, monkeypatch):
+    """--verbose must NOT switch to the per-epoch tracked engine: the
+    compiled session program records the per-epoch (loss, acc1, acc5)
+    trace on device and the host prints the reference's per-10-epoch
+    lines (language_eval.py:310-315) from it."""
+    import subspace_reg_tpu.engine.incremental as eng
+
+    def _boom(*a, **k):
+        raise AssertionError("verbose selected the tracked engine")
+
+    monkeypatch.setattr(eng, "_run_tracked", _boom)
+    opt = env["opt"]
+    for k, v in dict(label_pull=None, attraction_override=None,
+                     lmbd_reg_transform_w=0.2, max_novel_epochs=25,
+                     min_novel_epochs=20, stable_epochs=50,
+                     verbose=True).items():
+        setattr(opt, k, v)
+    meta_sampler = EpisodeSampler(env["novel"], opt, split="val",
+                                  disjoint_classes=True)
+    res = few_shot_finetune_incremental_test(
+        env["backbone"], env["variables"], env["head0"], {}, opt,
+        meta_sampler=meta_sampler, base_test_split=env["base_test"],
+        base_support_sampler=None, verbose=True, pallas_mode="off")
+    opt.verbose = False
+    opt.min_novel_epochs = 5
+    opt.stable_epochs = 3
+    out = capsys.readouterr().out
+    # min 20 epochs forced => epochs 10 and 20 printed for every session
+    assert out.count("Novel Epoch   10") == 8
+    assert out.count("Novel Epoch   20") == 8
+    assert "**** Iteration 8/8 ****" in out
+    assert len(res.acc_novel_list) == 8
+
+
+def test_verbose_trace_matches_tracked_prints(env, capsys):
+    """The device-recorded epoch trace reproduces the per-epoch values the
+    tracked engine prints live (same loss/acc at the printed epochs)."""
+    import re
+    opt = env["opt"]
+    for k, v in dict(label_pull=None, attraction_override=None,
+                     max_novel_epochs=15, min_novel_epochs=12,
+                     stable_epochs=50, verbose=True).items():
+        setattr(opt, k, v)
+
+    def run(track):
+        opt.track_weights = track
+        meta_sampler = EpisodeSampler(env["novel"], opt, split="val",
+                                      disjoint_classes=True)
+        return few_shot_finetune_incremental_test(
+            env["backbone"], env["variables"], env["head0"], {}, opt,
+            meta_sampler=meta_sampler, base_test_split=env["base_test"],
+            verbose=True, pallas_mode="off")
+
+    import os
+    cwd = os.getcwd()
+    try:
+        run(False)
+        fast = capsys.readouterr().out
+        run(True)
+        tracked = capsys.readouterr().out
+    finally:
+        opt.track_weights = False
+        opt.verbose = False
+        opt.min_novel_epochs = 5
+        opt.stable_epochs = 3
+        for f in os.listdir(cwd):
+            if f.startswith("track_weights_") and f.endswith(".csv"):
+                os.remove(os.path.join(cwd, f))
+    pat = re.compile(r"Novel Epoch\s+(\d+)\s+Train Loss\s+([\d.]+)\s+"
+                     r"Acc@1\s+([\d.]+)\s+Acc@5\s+([\d.]+)")
+    fast_lines = pat.findall(fast)
+    tracked_lines = pat.findall(tracked)
+    assert fast_lines and fast_lines == tracked_lines
+
+
+def test_track_weights_under_general_freeze(env, tmp_path, monkeypatch):
+    """Tracking CSVs must also be produced on the freeze_backbone_at != 1
+    path (round-1 gap: the general-freeze engine never recorded weights)."""
+    monkeypatch.chdir(tmp_path)
+    res = _run(env, label_pull=None, attraction_override=None,
+               track_weights=True, freeze_backbone_at=3,
+               max_novel_epochs=8, min_novel_epochs=3)
+    env["opt"].track_weights = False
+    env["opt"].freeze_backbone_at = 1
+    assert len(res.acc_novel_list) == 8
+    import glob
+    files = glob.glob(str(tmp_path / "track_weights_*.csv"))
+    assert len(files) == 1
+    body = open(files[0]).read().splitlines()
+    # rows for every epoch of every session: 60-plus-novel rows per epoch
+    assert len(body) > 8 * 2 * 60
+
+
+def test_vis_returns_prediction_frames(env):
+    """vis=True returns the per-epoch session-0 prediction dataframe with
+    the reference's columns (language_eval.py:81-83,345-349)."""
+    df = _run(env, label_pull=None, attraction_override=None,
+              max_novel_epochs=6, min_novel_epochs=3, vis=True)
+    assert list(df.columns) == ["idx", "class", "isbase", "predicted", "img"]
+    assert set(df["idx"]) == {0}
+    nq = env["opt"].n_ways * env["opt"].n_queries
+    # one frame of nq rows per fine-tune epoch of session 0
+    assert len(df) % nq == 0 and len(df) >= 2 * nq
+    assert df["img"].iloc[0].startswith('<img src="data:image')
+    assert (~df["isbase"]).all()

@@ -153,7 +153,7 @@ def test_pallas_matches_reference(pull_mode, memory_on):
         mem_count=mem_count, prev_loss0=5.0, stable0=0.0,
         orig_base=orig_base, n_ways=n_ways)
 
-    w_out, stats = finetune_loop_pallas(
+    w_out, stats, trace = finetune_loop_pallas(
         jnp.asarray(f_sup), jnp.asarray(oh_sup), jnp.asarray(rm_sup),
         jnp.asarray(f_mem), jnp.asarray(oh_mem), jnp.asarray(rm_mem),
         jnp.asarray(w), jnp.asarray(mom), jnp.asarray(w0),
@@ -161,10 +161,24 @@ def test_pallas_matches_reference(pull_mode, memory_on):
         scalars,
         n_sup=n_sup, memory_on=memory_on, use_regbase=True,
         use_regnovel=True, pull_mode=pull_mode, stable_mode=True,
-        orig_base=orig_base, n_ways=n_ways, interpret=True)
+        orig_base=orig_base, n_ways=n_ways, trace_rows=32, interpret=True)
 
     assert int(stats[0, 1]) == int(epoch_ref)
     np.testing.assert_allclose(float(stats[0, 0]), loss_ref,
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(w_out), w_ref,
                                rtol=2e-4, atol=2e-5)
+
+    # per-epoch trace: row e holds epoch e's pre-update loss; the final
+    # epoch's row matches the returned loss, later rows stay zero
+    tr = np.asarray(trace)
+    ep = int(epoch_ref)
+    np.testing.assert_allclose(tr[ep, 0], loss_ref, rtol=1e-4, atol=1e-5)
+    assert np.all(tr[ep + 1:, 0] == 0.0)
+    if ep >= 2:
+        assert np.all(tr[2:ep + 1, 1] >= 0) and np.all(tr[2:ep + 1, 1] <= 100)
+        # acc5 >= acc1 by construction
+        assert np.all(tr[2:ep + 1, 2] >= tr[2:ep + 1, 1] - 1e-5)
+    # stats lanes 3/4 carry the last training epoch's support accuracies
+    np.testing.assert_allclose(float(stats[0, 3]), tr[ep, 1], atol=1e-5)
+    np.testing.assert_allclose(float(stats[0, 4]), tr[ep, 2], atol=1e-5)
