@@ -499,8 +499,15 @@ def _resolve_pallas(pallas_mode: str, opt, with_bias: bool,
 
 
 def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
-                    pallas_mode: str = "auto"):
-    """Build the once-compiled session program."""
+                    pallas_mode: str = "auto", eval_chunk: int = None):
+    """Build the once-compiled session program.
+
+    ``eval_chunk``: compute the large eval-mode feature caches (query
+    collection, base batch) in sequential chunks of this many rows via
+    ``lax.map``.  Bounds the transient conv activation memory — required
+    when the program is vmapped over many seeds (a 10-seed x 1000-query
+    84px batch would materialize an 18GB stage-1 activation on one chip).
+    Sizes not divisible by the chunk fall back to one full forward."""
 
     tx = optim_lib.get_optim(opt)
     memory_on = bool(opt.memory_replay)
@@ -518,6 +525,19 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
              "batch_stats": variables["batch_stats"],
              "counters": variables["counters"]},
             x, train=False)
+
+    def apply_eval_big(variables, x):
+        """Chunked eval forward for the large caches (see ``eval_chunk``).
+        Non-multiple sizes are zero-padded to the next chunk boundary
+        (eval-mode BN is per-row, so padding rows never affect real ones)."""
+        n = x.shape[0]
+        if not eval_chunk or n <= eval_chunk:
+            return apply_eval(variables, x)
+        pad = (-n) % eval_chunk
+        xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
+        xs = xp.reshape((xp.shape[0] // eval_chunk, eval_chunk) + x.shape[1:])
+        fs = jax.lax.map(lambda xx: apply_eval(variables, xx), xs)
+        return fs.reshape((-1, fs.shape[-1]))[:n]
 
     def head_logits(params, feats, n_active):
         out = feats @ params["w"].T
@@ -646,8 +666,8 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
             jnp.asarray(1, jnp.int32))
         f_sup = apply_eval(vars2, support_x)
         f_mem = apply_eval(vars2, memory_x) if memory_on else f_mem_tr
-        f_query = apply_eval(vars2, query_x)
-        f_base = apply_eval(vars2, base_x)
+        f_query = apply_eval_big(vars2, query_x)
+        f_base = apply_eval_big(vars2, base_x)
         return (params, opt_state, l1, a1, a5, stable_epochs, stop,
                 f_sup, f_mem, f_query, f_base,
                 vars2["batch_stats"], vars2["counters"])
@@ -776,8 +796,8 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
     def cache_feats_fn(variables, support_x, memory_x, query_x, base_x):
         f_sup = apply_eval(variables, support_x)
         f_mem = apply_eval(variables, memory_x)
-        f_query = apply_eval(variables, query_x)
-        f_base = apply_eval(variables, base_x)
+        f_query = apply_eval_big(variables, query_x)
+        f_base = apply_eval_big(variables, base_x)
         return f_sup, f_mem, f_query, f_base
 
     @jax.jit
@@ -825,8 +845,8 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
         # 90MB buffer copy outweighs the saved per-layer overheads) ----
         f_sup = apply_eval(vars2, support_x)
         f_mem = apply_eval(vars2, memory_x) if memory_on else f_mem_tr
-        f_query = apply_eval(vars2, query_x)
-        f_base = apply_eval(vars2, base_x)
+        f_query = apply_eval_big(vars2, query_x)
+        f_base = apply_eval_big(vars2, base_x)
 
         # ---- epochs 2..N: pure head fine-tuning on cached features ----
         if use_pallas:
@@ -917,13 +937,28 @@ def _subset_opt_state(state, keys):
     return tuple(fix(s) for s in state)
 
 
-def eval_base_fn(backbone):
+def eval_base_fn(backbone, eval_chunk: int = None):
     """Standalone base-batch evaluation (reference eval_base,
-    language_eval.py:46-69) for the initial pre-session measurement."""
+    language_eval.py:46-69) for the initial pre-session measurement.
+    ``eval_chunk`` bounds transient activation memory (see
+    ``make_session_fn``)."""
+
+    def fwd(variables, x):
+        return backbone.apply(variables, x, train=False)
 
     @jax.jit
     def f(variables, head_w, head_b, n_active, base_x, base_y):
-        feats = backbone.apply(variables, base_x, train=False)
+        n = base_x.shape[0]
+        if eval_chunk and n > eval_chunk:
+            pad = (-n) % eval_chunk
+            xp = (jnp.pad(base_x, ((0, pad),) + ((0, 0),)
+                          * (base_x.ndim - 1)) if pad else base_x)
+            xs = xp.reshape((xp.shape[0] // eval_chunk, eval_chunk)
+                            + base_x.shape[1:])
+            feats = jax.lax.map(lambda xx: fwd(variables, xx), xs)
+            feats = feats.reshape((-1, feats.shape[-1]))[:n]
+        else:
+            feats = fwd(variables, base_x)
         out = feats @ head_w.T
         if head_b is not None:
             out = out + head_b
@@ -975,7 +1010,8 @@ def few_shot_finetune_incremental_test(
         meta_sampler: EpisodeSampler,
         base_test_split, base_support_sampler=None,
         base_split_for_vocab=None, verbose: bool = True,
-        pallas_mode: str = "auto", vis: bool = False):
+        pallas_mode: str = "auto", vis: bool = False,
+        eval_chunk: int = None):
     """Run the multi-session protocol. Mirrors language_eval.py:71-454.
 
     Returns an :class:`IncrementalResult` — or, when ``vis=True``, a pandas
@@ -1021,7 +1057,7 @@ def few_shot_finetune_incremental_test(
         base_sup_y = ep.support_y.astype(np.int32)
 
     fns = make_session_fn(backbone, opt, geo, with_bias,
-                          pallas_mode=pallas_mode)
+                          pallas_mode=pallas_mode, eval_chunk=eval_chunk)
     session_fn = fns["session"]
     # --verbose does NOT select the per-epoch engine: the compiled session
     # program records a per-epoch (loss, acc1, acc5) trace on device and the
@@ -1034,7 +1070,7 @@ def few_shot_finetune_incremental_test(
     track_weight_rows: List = []
     track_inspired_rows: List = []
     vis_rows: List = [] if vis else None
-    base_eval = eval_base_fn(backbone)
+    base_eval = eval_base_fn(backbone, eval_chunk=eval_chunk)
 
     # state threaded across sessions — device-resident so sessions can be
     # dispatched back-to-back with no host round trips

@@ -93,7 +93,11 @@ def few_shot_finetune_multiseed(
     with_bias = head0.bias is not None
     assert not with_bias, "multiseed path targets the no-bias golden config"
 
-    fns = make_session_fn(backbone, opt0, geo, with_bias, pallas_mode="off")
+    # chunked eval forwards: without them, vmapping S seeds over the
+    # 1000-row query/base eval batches materializes an (S*1000, 84, 84, 64)
+    # stage-1 activation that exceeds single-chip HBM for S >= ~5
+    fns = make_session_fn(backbone, opt0, geo, with_bias, pallas_mode="off",
+                          eval_chunk=geo.n_query_per_session)
     vsession = jax.jit(jax.vmap(
         fns["session"],
         in_axes=(0, 0, 0, None, 0, 0, 0, None, 0, 0, 0, 0, None,
@@ -155,7 +159,8 @@ def few_shot_finetune_multiseed(
     lang_state = [None] * S
 
     # initial base accuracy per seed (language_eval.py:128-129)
-    bev = jax.vmap(eval_base_fn(backbone),
+    bev = jax.vmap(eval_base_fn(backbone,
+                                eval_chunk=geo.n_query_per_session),
                    in_axes=(0, 0, None, None, 0, 0))
     init_base = np.asarray(bev(variables, jnp.asarray(head_w), None,
                                n_active, base_x, base_y))

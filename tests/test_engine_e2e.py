@@ -339,3 +339,32 @@ def test_vis_returns_prediction_frames(env):
     assert len(df) % nq == 0 and len(df) >= 2 * nq
     assert df["img"].iloc[0].startswith('<img src="data:image')
     assert (~df["isbase"]).all()
+
+
+def test_chunked_eval_forwards_match_unchunked(env):
+    """eval_chunk bounds transient activation memory (multi-seed vmap on
+    one chip); the chunked feature caches must reproduce the unchunked
+    engine results exactly."""
+    opt = env["opt"]
+    for k, v in dict(label_pull=None, attraction_override=None,
+                     max_novel_epochs=10, min_novel_epochs=5,
+                     stable_epochs=3).items():
+        setattr(opt, k, v)
+
+    def run(chunk):
+        meta_sampler = EpisodeSampler(env["novel"], opt, split="val",
+                                      disjoint_classes=True)
+        return few_shot_finetune_incremental_test(
+            env["backbone"], env["variables"], env["head0"], {}, opt,
+            meta_sampler=meta_sampler, base_test_split=env["base_test"],
+            verbose=False, pallas_mode="off", eval_chunk=chunk)
+
+    ref = run(None)
+    got = run(24)                  # non-divisor: exercises the pad path too
+    assert got.epochs_per_session == ref.epochs_per_session
+    np.testing.assert_allclose(got.acc_novel_list, ref.acc_novel_list,
+                               atol=1e-4)
+    np.testing.assert_allclose(got.acc_base_list, ref.acc_base_list,
+                               atol=1e-4)
+    np.testing.assert_allclose(got.weighted_avg_l, ref.weighted_avg_l,
+                               atol=1e-4)

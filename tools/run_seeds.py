@@ -90,11 +90,26 @@ def main(argv=None):
                    help="optional per-seed checkpoint pattern with {seed}")
     p.add_argument("--vmap", action="store_true",
                    help="batch all seeds through one vmapped engine run")
+    p.add_argument("--seed_batch", type=int, default=None,
+                   help="process seeds in vmapped groups of this size "
+                        "(bounds HBM: the epoch-1 train-mode forwards keep "
+                        "several (S*batch, 84, 84, 64) activations live and "
+                        "cannot be chunked without changing BN batch-stat "
+                        "semantics)")
     args = p.parse_args(own)
 
     novel_all, base_all, weighted_all = [], [], []
     if args.vmap:
-        results = _run_vmapped(args, rest)
+        import copy as _copy
+        all_seeds = list(args.seeds)
+        group = args.seed_batch or len(all_seeds)
+        results = []
+        for lo in range(0, len(all_seeds), group):
+            gargs = _copy.copy(args)
+            gargs.seeds = all_seeds[lo:lo + group]
+            if len(all_seeds) > group:
+                print(f"===== vmapped seed group {gargs.seeds} =====")
+            results.extend(_run_vmapped(gargs, rest))
         for res in results:
             novel_all.append(res.acc_novel_avg)
             base_all.append(res.acc_base_avg)
