@@ -144,7 +144,7 @@ def _run_pallas_loop(opt, geo, params, mom_e1, l1, a1_e1, a5_e1,
                      stable_mode, interpret):
     """Pad operands and dispatch the fused Pallas fine-tune loop."""
     from ..ops.pallas.finetune import (
-        _round_up, finetune_loop_pallas, pack_scalars)
+        _round_up, finetune_loop_pallas, label_tile, pack_scalars)
 
     c_pad = _round_up(geo.max_classes, 128)
     d_pad = _round_up(geo.feat_dim, 128)
@@ -155,29 +155,26 @@ def _run_pallas_loop(opt, geo, params, mom_e1, l1, a1_e1, a5_e1,
         return jnp.pad(a, ((0, r - a.shape[0]), (0, c - a.shape[1])))
 
     f32 = jnp.float32
+    dummy = jnp.zeros((8, 128), f32)   # placeholder for unread operands
     f_sup_p = pad2(f_sup, ns_pad, d_pad)
     f_mem_p = pad2(f_mem, nm_pad, d_pad)
     w_p = pad2(params["w"], c_pad, d_pad)
     mom_p = pad2(mom_e1, c_pad, d_pad)
-    w0_p = pad2(w0, c_pad, d_pad)
-    res_p = jnp.zeros((c_pad, d_pad), f32)
-    res_p = jax.lax.dynamic_update_slice(
-        res_p, pad2(reserved, reserved.shape[0], d_pad), (geo.orig_base, 0))
+    w0_p = pad2(w0, c_pad, d_pad) if lmbd_base is not None else dummy
+    if lmbd_novel is not None:
+        res_p = jnp.zeros((c_pad, d_pad), f32)
+        res_p = jax.lax.dynamic_update_slice(
+            res_p, pad2(reserved, reserved.shape[0], d_pad),
+            (geo.orig_base, 0))
+    else:
+        res_p = dummy
 
-    colm = jnp.arange(c_pad) < n_active
-    sup_rows = jnp.arange(ns_pad) < geo.n_support
-    rm_sup = (sup_rows[:, None] & colm[None, :]).astype(f32)
-    y_sup_p = jnp.pad(support_y, (0, ns_pad - support_y.shape[0]))
-    oh_sup = jax.nn.one_hot(y_sup_p, c_pad, dtype=f32) * sup_rows[:, None]
-
-    mem_rows = jnp.arange(nm_pad) < memory_count
-    rm_mem = (mem_rows[:, None] & colm[None, :]).astype(f32)
-    y_mem_p = jnp.pad(memory_y, (0, nm_pad - memory_y.shape[0]))
-    oh_mem = jax.nn.one_hot(y_mem_p, c_pad, dtype=f32) * mem_rows[:, None]
+    y_sup_t = label_tile(support_y, ns_pad)
+    y_mem_t = label_tile(memory_y, nm_pad)
 
     pull_mode = "none"
-    pull_M = jnp.zeros((d_pad, d_pad), f32)
-    pull_T = jnp.zeros((c_pad, d_pad), f32)
+    pull_M = dummy
+    pull_T = dummy
     if label_pull is not None:
         if dist2sub:
             pull_mode = "subspace"
@@ -187,7 +184,8 @@ def _run_pallas_loop(opt, geo, params, mom_e1, l1, a1_e1, a5_e1,
         else:
             pull_mode = "semantic"
             pull_T = jax.lax.dynamic_update_slice(
-                pull_T, pad2(sem_pullers, geo.n_ways, d_pad),
+                jnp.zeros((c_pad, d_pad), f32),
+                pad2(sem_pullers, geo.n_ways, d_pad),
                 (n_active - geo.n_ways, 0))
 
     scalars = pack_scalars(
@@ -201,7 +199,7 @@ def _run_pallas_loop(opt, geo, params, mom_e1, l1, a1_e1, a5_e1,
         n_ways=geo.n_ways, acc1_0=a1_e1, acc5_0=a5_e1)
 
     w_out, stats, trace_raw = finetune_loop_pallas(
-        f_sup_p, oh_sup, rm_sup, f_mem_p, oh_mem, rm_mem,
+        f_sup_p, y_sup_t, f_mem_p, y_mem_t,
         w_p, mom_p, w0_p, res_p, pull_M, pull_T, scalars,
         n_sup=geo.n_support, memory_on=memory_on,
         use_regbase=(lmbd_base is not None),
@@ -462,17 +460,38 @@ def _trace_rows(opt) -> int:
 
 
 def _pallas_vmem_bytes(geo: SessionGeometry, opt=None) -> int:
-    """Estimated VMEM working set of the fused fine-tune kernel (all
-    operands + logits/grad work buffers, f32).  The kernel holds everything
-    resident (no grid) so large class counts — e.g. tiered's 351+40 padded
-    to 512 — can exceed the ~16MB scoped VMEM."""
+    """Estimated VMEM working set of the fused fine-tune kernel (operands
+    + logits/grad work buffers, f32).  One-hot targets/masks are built
+    in-kernel from iota + (N,128) label tiles, so only the transient
+    logits/probability matrices contribute (N, C) terms.  The kernel holds
+    everything resident (no grid) so large class counts — e.g. tiered's
+    351+40 padded to 512 — can still exceed the ~16MB scoped VMEM."""
     from ..ops.pallas.finetune import _round_up
     c = _round_up(geo.max_classes, 128)
     d = _round_up(geo.feat_dim, 128)
     ns = _round_up(geo.n_support, 8)
     nm = _round_up(max(geo.max_memory, 8), 8)
     tr = _trace_rows(opt) if opt is not None else 8
-    words = ns * (d + 4 * c) + nm * (d + 4 * c) + 7 * c * d + d * d
+    # (Cp, D) residents: w, momentum, w_out, grad workspace — plus the
+    # config-dependent anchor/target operands (unused ones are passed as
+    # (8,128) dummies)
+    big = 4
+    dd = 0
+    if opt is not None:
+        if opt.lmbd_reg_transform_w is not None:
+            big += 1                                   # w0
+        if opt.lmbd_reg_novel is not None:
+            big += 1                                   # reserved
+        pulling = (opt.label_pull is not None
+                   and getattr(opt, "pulling", "regularize") == "regularize")
+        if pulling and opt.attraction_override == "distance2subspace":
+            dd = d * d                                 # projector
+        elif pulling:
+            big += 1                                   # semantic target
+    else:
+        big, dd = 7, d * d
+    words = ns * (d + 128 + 2 * c) + nm * (d + 128 + 2 * c) \
+        + big * c * d + dd
     words += tr * 128
     return 4 * words
 
@@ -484,7 +503,10 @@ def _resolve_pallas(pallas_mode: str, opt, with_bias: bool,
     if pallas_mode == "off":
         return False, False
     eligible = (not opt.adam) and (not with_bias)
-    if geo is not None and _pallas_vmem_bytes(geo, opt) > 15 * 1024 * 1024:
+    # Mosaic's scoped-VMEM stack accounting runs ~1.3x this estimator
+    # (measured on v5e: tiered geometry estimated 14.9MB compiled to a
+    # 19.04MB stack against the 16MB limit), so gate at 11.5MB estimated
+    if geo is not None and _pallas_vmem_bytes(geo, opt) > int(11.5 * 2**20):
         if pallas_mode in ("on", "interpret"):
             raise ValueError(
                 "fused Pallas fine-tune loop does not fit VMEM for this "

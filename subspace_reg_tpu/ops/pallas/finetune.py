@@ -25,8 +25,10 @@ tests/test_pallas_finetune.py):
     (reference eval/language_eval.py:298-318)
 
 Row geometry: class axis padded to a multiple of 128 lanes; support/memory
-rows padded to sublane multiples; all masking is baked into the
-row-x-active-class mask matrices built by the wrapper.
+rows padded to sublane multiples; one-hot targets and the
+row-x-active-class masks are built IN-KERNEL from iota + lane-tiled label
+vectors (keeps the (N, C) matrices out of both the operand set and the
+resident VMEM working set).
 """
 
 from __future__ import annotations
@@ -50,16 +52,11 @@ def _make_kernel(cfg):
     (n_sup, memory_on, use_regbase, use_regnovel, pull_mode,
      stable_mode, c_pad, d, trace_rows) = cfg
 
-    def kernel(f_sup_ref, oh_sup_ref, rm_sup_ref,
-               f_mem_ref, oh_mem_ref, rm_mem_ref,
+    def kernel(f_sup_ref, y_sup_ref, f_mem_ref, y_mem_ref,
                w_ref, mom_ref, w0_ref, reserved_ref,
                pull_op_ref, pull_tgt_ref, scalars_ref,
                w_out_ref, stats_out_ref, trace_out_ref):
         f_sup = f_sup_ref[:]
-        oh_sup = oh_sup_ref[:]
-        rm_sup = rm_sup_ref[:]
-        w0 = w0_ref[:]
-        reserved = reserved_ref[:]
 
         lr = scalars_ref[0]
         wd = scalars_ref[1]
@@ -89,8 +86,29 @@ def _make_kernel(cfg):
         cur_m = ((rows_f >= n_active - scalars_ref[17])          # n_ways
                  & (rows_f < n_active)).astype(jnp.float32)
 
+        # one-hot targets and row-x-active-class masks are rebuilt from
+        # iota + the (N,128)-tiled label vectors instead of being passed as
+        # (N, C) operands — saves 2*(Ns+Nm)*C words of VMEM and the
+        # host-side one-hot construction
+        n_sup_rows = f_sup.shape[0]
+        n_mem_rows = f_mem_ref.shape[0]
+
+        def targets(y_ref, n_rows, count):
+            # Mosaic only accepts integer iota; cast for the f32 compares
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (n_rows, c_pad), 1).astype(jnp.float32)
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (n_rows, c_pad), 0).astype(jnp.float32)
+            rm = ((row < count) & (col < n_active)).astype(jnp.float32)
+            y = y_ref[:, 0:1]
+            oh = jnp.where((col == y) & (rm > 0), 1.0, 0.0)
+            return oh, rm
+
         def loss_and_grad(w):
-            # support CE
+            # support CE (targets/masks rebuilt per epoch — cheap VPU iota
+            # work that keeps them out of the resident VMEM working set)
+            oh_sup, rm_sup = targets(y_sup_ref, n_sup_rows,
+                                     jnp.asarray(n_sup, jnp.float32))
             logits = jnp.dot(f_sup, w.T, preferred_element_type=jnp.float32)
             logits = jnp.where(rm_sup > 0, logits, NEG)
             m = jnp.max(logits, axis=-1, keepdims=True)
@@ -115,8 +133,7 @@ def _make_kernel(cfg):
 
             if memory_on:
                 f_mem = f_mem_ref[:]
-                oh_mem = oh_mem_ref[:]
-                rm_mem = rm_mem_ref[:]
+                oh_mem, rm_mem = targets(y_mem_ref, n_mem_rows, mem_count)
                 inv_cnt = 1.0 / jnp.maximum(mem_count, 1.0)
                 lg2 = jnp.dot(f_mem, w.T, preferred_element_type=jnp.float32)
                 lg2 = jnp.where(rm_mem > 0, lg2, NEG)
@@ -131,7 +148,7 @@ def _make_kernel(cfg):
                                 preferred_element_type=jnp.float32)
 
             if use_regbase:
-                diff = (w - w0) * base_m
+                diff = (w - w0_ref[:]) * base_m
                 sq = jnp.sum(diff * diff)
                 norm = jnp.sqrt(jnp.where(sq == 0, 1.0, sq))
                 norm = jnp.where(sq == 0, 0.0, norm)
@@ -140,7 +157,7 @@ def _make_kernel(cfg):
                 g = g + lmbd_base * diff * inv
 
             if use_regnovel:
-                diff = (w - reserved) * novel_m
+                diff = (w - reserved_ref[:]) * novel_m
                 sq = jnp.sum(diff * diff)
                 norm = jnp.sqrt(jnp.where(sq == 0, 1.0, sq))
                 norm = jnp.where(sq == 0, 0.0, norm)
@@ -231,16 +248,19 @@ def _make_kernel(cfg):
                      "pull_mode", "stable_mode", "orig_base", "n_ways",
                      "trace_rows", "interpret"))
 def finetune_loop_pallas(
-        f_sup, oh_sup, rm_sup, f_mem, oh_mem, rm_mem,
+        f_sup, y_sup, f_mem, y_mem,
         w, mom, w0, reserved, pull_op, pull_tgt, scalars,
         *, n_sup: int, memory_on: bool, use_regbase: bool,
         use_regnovel: bool, pull_mode: str, stable_mode: bool,
         orig_base: int, n_ways: int, trace_rows: int = 8,
         interpret: bool = False):
     """Run the fused loop.  All arrays pre-padded by the caller:
-    f_sup (Ns,D), oh/rm_sup (Ns,Cp), f_mem (Nm,D), oh/rm_mem (Nm,Cp),
-    w/mom/w0/reserved/pull_tgt (Cp,D), pull_op (D,D),
-    scalars (32,) f32 laid out as documented in the kernel.
+    f_sup (Ns,D); y_sup (Ns,128) f32 labels tiled across lanes;
+    f_mem (Nm,D); y_mem (Nm,128); w/mom/w0/reserved/pull_tgt (Cp,D);
+    pull_op (D,D); scalars (32,) f32 laid out as documented in the kernel.
+    One-hot targets and row-x-class masks are built in-kernel from iota +
+    the label tiles (valid-row/active-class bounds come from n_sup,
+    scalars[11] and scalars[13]).
     ``trace_rows`` must exceed ``max_epochs`` (row e of the trace output
     holds epoch e's pre-update (loss, acc1, acc5); rows 0-1 stay zero —
     epoch 1 runs outside the kernel).
@@ -254,15 +274,22 @@ def finetune_loop_pallas(
         out_shape=(jax.ShapeDtypeStruct((c_pad, d), jnp.float32),
                    jax.ShapeDtypeStruct((1, 128), jnp.float32),
                    jax.ShapeDtypeStruct((trace_rows, 128), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(f_sup, oh_sup, rm_sup, f_mem, oh_mem, rm_mem,
+    )(f_sup, y_sup, f_mem, y_mem,
       w, mom, w0, reserved, pull_op, pull_tgt, scalars)
     return out
+
+
+def label_tile(y, n_rows: int) -> jnp.ndarray:
+    """(N,) int labels -> (n_rows, 128) f32 lane-tiled operand."""
+    y = jnp.asarray(y, jnp.float32)
+    y = jnp.pad(y, (0, n_rows - y.shape[0]))
+    return jnp.broadcast_to(y[:, None], (n_rows, 128))
 
 
 def pack_scalars(lr, wd, momentum, lmbd_base, lmbd_novel, gamma, eps,

@@ -134,17 +134,11 @@ def test_pallas_matches_reference(pull_mode, memory_on):
         f_sup.copy(), y_sup, n_sup, f_mem.copy(), y_mem, mem_count,
         w.copy(), mom.copy(), w0, reserved, pull_M, pull_T, hp, flags)
 
-    # pallas inputs
-    rows = np.arange(C_PAD)
-    cm = (rows < n_active)
-    rm_sup = ((np.arange(N_SUP_PAD) < n_sup)[:, None] & cm[None, :]
-              ).astype(np.float32)
-    oh_sup = np.zeros((N_SUP_PAD, C_PAD), np.float32)
-    oh_sup[np.arange(N_SUP_PAD), y_sup] = rm_sup.max(1)
-    rm_mem = ((np.arange(N_MEM_PAD) < mem_count)[:, None] & cm[None, :]
-              ).astype(np.float32)
-    oh_mem = np.zeros((N_MEM_PAD, C_PAD), np.float32)
-    oh_mem[np.arange(N_MEM_PAD), y_mem] = rm_mem.max(1)
+    # pallas inputs: lane-tiled label vectors (one-hots built in-kernel)
+    y_sup_t = np.broadcast_to(y_sup.astype(np.float32)[:, None],
+                              (N_SUP_PAD, 128)).copy()
+    y_mem_t = np.broadcast_to(y_mem.astype(np.float32)[:, None],
+                              (N_MEM_PAD, 128)).copy()
 
     scalars = pack_scalars(
         lr=0.01, wd=5e-3, momentum=0.9, lmbd_base=0.2, lmbd_novel=0.1,
@@ -154,8 +148,8 @@ def test_pallas_matches_reference(pull_mode, memory_on):
         orig_base=orig_base, n_ways=n_ways)
 
     w_out, stats, trace = finetune_loop_pallas(
-        jnp.asarray(f_sup), jnp.asarray(oh_sup), jnp.asarray(rm_sup),
-        jnp.asarray(f_mem), jnp.asarray(oh_mem), jnp.asarray(rm_mem),
+        jnp.asarray(f_sup), jnp.asarray(y_sup_t),
+        jnp.asarray(f_mem), jnp.asarray(y_mem_t),
         jnp.asarray(w), jnp.asarray(mom), jnp.asarray(w0),
         jnp.asarray(reserved), jnp.asarray(pull_M), jnp.asarray(pull_T),
         scalars,
