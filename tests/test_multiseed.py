@@ -116,3 +116,31 @@ def test_multiseed_matches_single_seed_runs(env):
                                    atol=0.02)
         np.testing.assert_allclose(got.weighted_avg_l, want.weighted_avg_l,
                                    atol=0.05)
+
+
+def test_run_seeds_seed_batch_groups(monkeypatch, capsys):
+    """--seed_batch processes seeds in vmapped groups (HBM bound) and
+    aggregates across groups exactly like a single fan-out."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import run_seeds
+    from subspace_reg_tpu.engine.incremental import IncrementalResult
+
+    calls = []
+
+    def fake_vmapped(args, rest):
+        calls.append(list(args.seeds))
+        return [IncrementalResult(
+            acc_novel_avg=50.0 + s, acc_base_avg=60.0 + s,
+            weighted_avg_l=[70.0 + s], acc_novel_list=[50.0 + s],
+            acc_base_list=[60.0 + s], novel_session_traces=[[50.0 + s]],
+            epochs_per_session=[3]) for s in args.seeds]
+
+    monkeypatch.setattr(run_seeds, "_run_vmapped", fake_vmapped)
+    out = run_seeds.main(["--vmap", "--seed_batch", "2",
+                          "--seeds", "1", "2", "3", "4", "5", "--"])
+    assert calls == [[1, 2], [3, 4], [5]]
+    assert out["seeds"] == [1, 2, 3, 4, 5]
+    np.testing.assert_allclose(out["novel"]["mean"], 53.0)
+    np.testing.assert_allclose(out["base"]["mean"], 63.0)
+    assert len(out["weighted_traces"]) == 5
