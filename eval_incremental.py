@@ -77,6 +77,10 @@ def main(argv=None):
         base_support_sampler = EpisodeSampler(
             base_train, opt, split="train", phase="train")
 
+    # disjoint_classes=True unconditionally — the reference CLI hardcodes it
+    # for miniImageNet even without --continual (eval_incremental.py:75);
+    # random (non-disjoint) episodes remain a library capability
+    # (EpisodeSampler(disjoint_classes=False), tests/test_protocols.py)
     meta_sampler = EpisodeSampler(novel, opt, split="val",
                                   use_episodes=opt.use_episodes,
                                   disjoint_classes=True)

@@ -112,11 +112,14 @@ class SessionGeometry:
 
 def session_count(opt) -> int:
     """Sessions/episodes to run (reference eval/language_eval.py:132-136):
-    ``neval_episodes`` in general; hard 8 for miniImageNet continual
-    (':135 "Assumes miniImageNet"').  Tiered/CIFAR continual (extensions the
-    reference never wired) take the CLI-provided ``neval_episodes``."""
+    ``neval_episodes`` in general; 8 for miniImageNet continual
+    (':135 "Assumes miniImageNet"') — but never more than the caller's
+    (possibly class-budget-clamped) ``neval_episodes``, so the CLI clamp in
+    eval_incremental.py actually bounds the run instead of being overridden
+    back to 8 and crashing the disjoint sampler.  Tiered/CIFAR continual
+    (extensions the reference never wired) take the CLI-provided value."""
     if opt.continual and opt.dataset == "miniImageNet":
-        return MAX_SESSIONS
+        return min(MAX_SESSIONS, opt.neval_episodes)
     return opt.neval_episodes
 
 
@@ -503,21 +506,38 @@ def _resolve_pallas(pallas_mode: str, opt, with_bias: bool,
     if pallas_mode == "off":
         return False, False
     eligible = (not opt.adam) and (not with_bias)
+    if pallas_mode == "interpret":
+        # the interpreter has no VMEM constraint — any geometry runs, which
+        # is exactly what CPU parity testing of large (tiered) shapes needs
+        return eligible, True
     # Mosaic's scoped-VMEM stack accounting runs ~1.3x this estimator
     # (measured on v5e: tiered geometry estimated 14.9MB compiled to a
     # 19.04MB stack against the 16MB limit), so gate at 11.5MB estimated
     if geo is not None and _pallas_vmem_bytes(geo, opt) > int(11.5 * 2**20):
-        if pallas_mode in ("on", "interpret"):
+        if pallas_mode == "on":
             raise ValueError(
                 "fused Pallas fine-tune loop does not fit VMEM for this "
                 f"geometry ({_pallas_vmem_bytes(geo, opt) / 1e6:.1f}MB "
                 "est.); use pallas_mode='off' (XLA while_loop)")
         return False, False
-    if pallas_mode == "interpret":
-        return eligible, True
     if pallas_mode == "on":
         return eligible, False
     return eligible and jax.default_backend() == "tpu", False
+
+
+def _chunked_apply(fn, x, chunk: int):
+    """Apply the per-row function ``fn`` over row-chunks of ``x`` via
+    ``lax.map``, zero-padding to the next chunk boundary (eval-mode
+    forwards are per-row, so padding rows never affect real ones).  Bounds
+    the transient conv activation memory of large eval batches."""
+    n = x.shape[0]
+    if not chunk or n <= chunk:
+        return fn(x)
+    pad = (-n) % chunk
+    xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
+    xs = xp.reshape((xp.shape[0] // chunk, chunk) + x.shape[1:])
+    fs = jax.lax.map(fn, xs)
+    return fs.reshape((-1, fs.shape[-1]))[:n]
 
 
 def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
@@ -526,10 +546,10 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
 
     ``eval_chunk``: compute the large eval-mode feature caches (query
     collection, base batch) in sequential chunks of this many rows via
-    ``lax.map``.  Bounds the transient conv activation memory — required
-    when the program is vmapped over many seeds (a 10-seed x 1000-query
-    84px batch would materialize an 18GB stage-1 activation on one chip).
-    Sizes not divisible by the chunk fall back to one full forward."""
+    ``lax.map``, zero-padding sizes up to the next chunk boundary.  Bounds
+    the transient conv activation memory — required when the program is
+    vmapped over many seeds (a 10-seed x 1000-query 84px batch would
+    materialize an 18GB stage-1 activation on one chip)."""
 
     tx = optim_lib.get_optim(opt)
     memory_on = bool(opt.memory_replay)
@@ -549,17 +569,9 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
             x, train=False)
 
     def apply_eval_big(variables, x):
-        """Chunked eval forward for the large caches (see ``eval_chunk``).
-        Non-multiple sizes are zero-padded to the next chunk boundary
-        (eval-mode BN is per-row, so padding rows never affect real ones)."""
-        n = x.shape[0]
-        if not eval_chunk or n <= eval_chunk:
-            return apply_eval(variables, x)
-        pad = (-n) % eval_chunk
-        xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
-        xs = xp.reshape((xp.shape[0] // eval_chunk, eval_chunk) + x.shape[1:])
-        fs = jax.lax.map(lambda xx: apply_eval(variables, xx), xs)
-        return fs.reshape((-1, fs.shape[-1]))[:n]
+        """Chunked eval forward for the large caches (see ``eval_chunk``)."""
+        return _chunked_apply(lambda xx: apply_eval(variables, xx),
+                              x, eval_chunk)
 
     def head_logits(params, feats, n_active):
         out = feats @ params["w"].T
@@ -970,17 +982,8 @@ def eval_base_fn(backbone, eval_chunk: int = None):
 
     @jax.jit
     def f(variables, head_w, head_b, n_active, base_x, base_y):
-        n = base_x.shape[0]
-        if eval_chunk and n > eval_chunk:
-            pad = (-n) % eval_chunk
-            xp = (jnp.pad(base_x, ((0, pad),) + ((0, 0),)
-                          * (base_x.ndim - 1)) if pad else base_x)
-            xs = xp.reshape((xp.shape[0] // eval_chunk, eval_chunk)
-                            + base_x.shape[1:])
-            feats = jax.lax.map(lambda xx: fwd(variables, xx), xs)
-            feats = feats.reshape((-1, feats.shape[-1]))[:n]
-        else:
-            feats = fwd(variables, base_x)
+        feats = _chunked_apply(lambda xx: fwd(variables, xx),
+                               base_x, eval_chunk)
         out = feats @ head_w.T
         if head_b is not None:
             out = out + head_b
@@ -1044,6 +1047,11 @@ def few_shot_finetune_incremental_test(
     implements the intended behavior)."""
 
     prt = print if verbose else (lambda *a, **k: None)
+    if vis and opt.freeze_backbone_at != 1:
+        raise NotImplementedError(
+            "vis frames require the per-epoch tracked engine, which serves "
+            "freeze_backbone_at == 1 only; the general-freeze path records "
+            "tracking CSVs but not vis frames")
     np.random.seed(opt.set_seed)
 
     train_spec, test_spec = transforms_test_options[opt.transform]
@@ -1299,7 +1307,11 @@ def few_shot_finetune_incremental_test(
             qry_u8 = jnp.asarray(ep.query_x)
         support_x = aug_ops.augment_batch(k_aug, sup_u8, train_spec)
         query_x = aug_ops.normalize_batch(qry_u8, test_spec)
-        novelimgs = (np.asarray(query_x) if (vis and idx == 0) else None)
+        # vis frames use the RAW uint8 queries: the reference feeds its
+        # (normalized, negative-valued) transformed tensors to
+        # image_formatter, whose max-scale + uint8 cast wraps them into
+        # garbage — raw pixels are the intended-behavior choice
+        novelimgs = (np.asarray(qry_u8) if (vis and idx == 0) else None)
 
         # grow the query collection (language_eval.py:198-204) — in place
         # on device
@@ -1384,15 +1396,17 @@ def few_shot_finetune_incremental_test(
             head_b = new_b
 
         # ---- replay-memory update (language_eval.py:352-359) ----
-        if opt.memory_replay and geo.n_novel_support < 125:
-            # the reference's index math is hardcoded to 5-way/5-shot/5-aug
-            # (margin 5*arange(5), offsets arange(0,125,25)) and would index
-            # out of bounds for smaller episodes — fail with provenance
-            # instead of reproducing the crash
+        if opt.memory_replay and (geo.n_ways, geo.n_shots,
+                                  geo.n_aug) != (5, 5, 5):
+            # the reference's index math is hardcoded to the EXACT
+            # 5-way/5-shot/5-aug layout (margin 5*arange(5), offsets
+            # arange(0,125,25)); other layouts would index out of bounds or
+            # silently draw from the wrong class/aug blocks — fail with
+            # provenance instead
             raise ValueError(
                 "memory_replay requires the 5-way/5-shot/5-aug support "
-                "layout (125 rows): the reference's replay index math is "
-                "hardcoded to it (eval/language_eval.py:354-358); got "
+                "layout: the reference's replay index math is hardcoded to "
+                "it (eval/language_eval.py:354-358); got "
                 f"{geo.n_ways}-way/{geo.n_shots}-shot/{geo.n_aug}-aug")
         if opt.memory_replay:
             inds = np.random.choice(opt.n_shots, opt.memory_replay)

@@ -267,3 +267,17 @@ def test_non_continual_cli_clamps_to_class_budget(tmp_path, monkeypatch):
     ])
     assert captured["sessions"] == 3           # 16 val classes // 5-way
     assert captured["max_classes"] == 64 + 3 * 5
+
+
+def test_session_count_respects_clamped_episodes():
+    """miniImageNet continual is capped at 8 sessions (the reference
+    hardcode) but never exceeds the caller's neval_episodes — so the CLI's
+    novel-class-budget clamp actually bounds the run instead of being
+    overridden back to 8 and crashing the disjoint sampler."""
+    opt = Opt()
+    opt.continual = True
+    opt.dataset = "miniImageNet"
+    opt.neval_episodes = 4          # e.g. clamped for a 10-way config
+    assert session_count(opt) == 4
+    opt.neval_episodes = 2000       # the parser's dead upstream default
+    assert session_count(opt) == 8

@@ -219,6 +219,17 @@ def main(argv=None):
     device_data_max = int(os.environ.get("DEVICE_DATA_MAX_BYTES",
                                          2 * 1024 ** 3))
     use_device_data = train_split.imgs.nbytes <= device_data_max
+
+    def make_epoch_iter(n_train_total):
+        """Shuffled tail-dropping index batches (the reference DataLoader's
+        shuffle=True, drop_last=True contract, train_supervised.py:49-54)."""
+        def epoch_iter():
+            order = rng_np.permutation(n_train_total)
+            end = (n_train_total // opt.batch_size) * opt.batch_size
+            for i in range(0, end, opt.batch_size):
+                yield jnp.asarray(order[i:i + opt.batch_size], jnp.int32)
+        return epoch_iter
+
     if use_device_data:
         print(f"==> staging dataset in HBM "
               f"({train_split.imgs.nbytes / 1e6:.0f} MB)"
@@ -248,26 +259,14 @@ def main(argv=None):
                 teacher=teacher if opt.distill == "kd" else None,
                 kd_temperature=opt.kd_T,
                 kd_alpha=opt.kd_alpha, kd_beta=opt.kd_beta)
-        n_train_total = len(train_labels)
-
-        def epoch_iter():
-            order = rng_np.permutation(n_train_total)
-            end = (n_train_total // opt.batch_size) * opt.batch_size
-            for i in range(0, end, opt.batch_size):
-                yield jnp.asarray(order[i:i + opt.batch_size], jnp.int32)
+        epoch_iter = make_epoch_iter(len(train_labels))
         loader = None
         val_imgs_for_eval = val_dev
     elif nce_state is not None:
         # contrastive mode needs dataset item indices: index-driven host
         # gather (the reference DataLoader's (img, target, item, sample_idx)
         # tuple, dataset/mini_imagenet.py:161-163)
-        n_train_total = len(train_labels)
-
-        def epoch_iter():
-            order = rng_np.permutation(n_train_total)
-            end = (n_train_total // opt.batch_size) * opt.batch_size
-            for i in range(0, end, opt.batch_size):
-                yield jnp.asarray(order[i:i + opt.batch_size], jnp.int32)
+        epoch_iter = make_epoch_iter(len(train_labels))
         loader = None
         val_imgs_for_eval = val_split.imgs
     else:
