@@ -1141,9 +1141,9 @@ def few_shot_finetune_incremental_test(
     query_y_buf = np.zeros((geo.max_queries,), np.int32)
 
     # prediction-dump bookkeeping (language_eval.py:407-438)
+    from ..utils.artifacts import new_prediction_rows
     save_preds = bool(getattr(opt, "save_preds_0", False))
-    preds_rows = {k: [] for k in ("Episode", "Gold", "Prediction",
-                                  "Original_Gold", "Original_Prediction")}
+    preds_rows = new_prediction_rows()
     id2orig: Dict[int, int] = {}
     basec_map_rev = {}
     if opt.continual and meta.get("training_classes"):
@@ -1214,38 +1214,22 @@ def few_shot_finetune_incremental_test(
         prt(f"***Running weighted avg: {weighted_avg}")
 
         if save_preds:
-            from ..utils.artifacts import map2original, save_predictions_csv
+            from ..utils.artifacts import (accumulate_prediction_rows,
+                                           predictions_csv_name,
+                                           save_predictions_csv)
             for k, v in orig2id.items():
                 id2orig[v] = k
             nq0 = geo.n_query_per_session
-            q_pred0 = np.asarray(metrics["query_preds"])[:nq0]
-            q_gold0 = query_y_buf[:nq0]
-            b_pred = np.asarray(metrics["base_preds"])
-            b_gold = np.asarray(base_y)
-            maps = [id2orig, basec_map_rev] if basec_map_rev else [id2orig]
-            try:
-                (qp_o, qg_o), (bp_o, bg_o) = (
-                    map2original([q_pred0, q_gold0], maps),
-                    map2original([b_pred, b_gold], maps))
-            except KeyError:
-                qp_o = qg_o = bp_o = bg_o = None
-            n_rows = len(q_gold0) + len(b_gold)
-            preds_rows["Episode"] += [idx] * n_rows
-            preds_rows["Gold"] += list(q_gold0) + list(b_gold)
-            preds_rows["Prediction"] += list(q_pred0) + list(b_pred)
-            if qp_o is not None:
-                preds_rows["Original_Gold"] += list(qg_o) + list(bg_o)
-                preds_rows["Original_Prediction"] += list(qp_o) + list(bp_o)
-            else:
-                preds_rows["Original_Gold"] += [-1] * n_rows
-                preds_rows["Original_Prediction"] += [-1] * n_rows
+            accumulate_prediction_rows(
+                preds_rows, idx,
+                np.asarray(metrics["query_preds"])[:nq0],
+                query_y_buf[:nq0],
+                np.asarray(metrics["base_preds"]), np.asarray(base_y),
+                id2orig, basec_map_rev)
             if idx == iter_num - 1:
                 import os
                 os.makedirs("csv_files_mem", exist_ok=True)
-                fname = (f"csv_files_mem/seed_{opt.set_seed}_{opt.dataset}_"
-                         f"{opt.n_shots}_{opt.label_pull}_"
-                         f"{opt.attraction_override}_continual_{opt.continual}"
-                         f"_mem_{opt.memory_replay}_predictions.csv")
+                fname = predictions_csv_name(opt)
                 save_predictions_csv(
                     fname, {k: np.asarray(v) for k, v in preds_rows.items()})
                 prt("saved", fname)

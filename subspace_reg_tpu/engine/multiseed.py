@@ -12,6 +12,10 @@ episode draw is immediately followed by its replay-memory index draw,
 mirroring the stand-alone engine's stream pairing).
 
 The fused Pallas loop does not vmap; this path uses the XLA while_loop.
+Prediction dumps (``save_preds_0``) write the reference-named per-seed
+CSVs, byte-identical to stand-alone runs; the per-epoch weight-tracking
+CSVs remain a stand-alone-engine feature (they require per-epoch host
+access, which would serialize the vmapped lanes).
 """
 
 from __future__ import annotations
@@ -147,6 +151,19 @@ def few_shot_finetune_multiseed(
                           jnp.float32)
     query_y_buf = np.zeros((S, geo.max_queries), np.int32)
 
+    # prediction dumps (reference language_eval.py:407-438), per seed
+    save_preds = bool(getattr(opt0, "save_preds_0", False))
+    if save_preds:
+        from ..utils.artifacts import new_prediction_rows
+        preds_rows = [new_prediction_rows() for _ in range(S)]
+        id2orig: List[Dict] = [dict() for _ in range(S)]
+        basec_map_rev: List[Dict] = []
+        for meta, opt in zip(per_seed_meta, opts):
+            m = {}
+            if opt.continual and meta.get("training_classes"):
+                m = {v: k for k, v in meta["training_classes"].items()}
+            basec_map_rev.append(m)
+
     meters = [( _Meter(), _Meter()) for _ in range(S)]
     weighted = [[] for _ in range(S)]
     novel_l = [[] for _ in range(S)]
@@ -192,6 +209,9 @@ def few_shot_finetune_multiseed(
 
             for k in list(orig2id.keys()):
                 orig2id[k] = orig2id[k] + idx * opt.n_ways
+            if save_preds:
+                for k, v in orig2id.items():
+                    id2orig[s_i][v] = k
             q_ids = np.asarray([orig2id[int(y)] for y in ep.query_y],
                                np.int32)
             s_ids = np.asarray([orig2id[int(y)] for y in ep.support_y],
@@ -308,6 +328,26 @@ def few_shot_finetune_multiseed(
             traces[s_i].append(trace)
             epochs_l[s_i].append(int(epochs_run[s_i]))
             secs[s_i].append(dt / S)
+            if save_preds:
+                from ..utils.artifacts import (accumulate_prediction_rows,
+                                               predictions_csv_name,
+                                               save_predictions_csv)
+                nq0 = geo.n_query_per_session
+                accumulate_prediction_rows(
+                    preds_rows[s_i], idx,
+                    np.asarray(metrics["query_preds"][s_i])[:nq0],
+                    query_y_buf[s_i][:nq0],
+                    np.asarray(metrics["base_preds"][s_i]),
+                    np.asarray(base_y[s_i]),
+                    id2orig[s_i], basec_map_rev[s_i])
+                if idx == iter_num - 1:
+                    import os
+                    os.makedirs("csv_files_mem", exist_ok=True)
+                    fname = predictions_csv_name(opt)
+                    save_predictions_csv(
+                        fname, {k: np.asarray(v)
+                                for k, v in preds_rows[s_i].items()})
+                    prt("saved", fname)
         prt(f"session {idx}: novel {[n[-1] for n in novel_l]} "
             f"base {[b[-1] for b in base_l]}")
 

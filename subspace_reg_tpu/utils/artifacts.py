@@ -82,6 +82,45 @@ def map2original(ls: Sequence, dictlist: Sequence[Dict]) -> List[List]:
     return rlist
 
 
+def new_prediction_rows() -> Dict[str, list]:
+    """Empty accumulator in the reference's prediction-dump schema."""
+    return {k: [] for k in ("Episode", "Gold", "Prediction",
+                            "Original_Gold", "Original_Prediction")}
+
+
+def accumulate_prediction_rows(preds_rows: Dict[str, list], idx: int,
+                               q_pred, q_gold, b_pred, b_gold,
+                               id2orig: Dict, basec_map_rev: Dict) -> None:
+    """Append one session's prediction rows (reference
+    language_eval.py:407-438): session-0 query preds + base preds, both in
+    session-local ids and mapped back to original dataset labels."""
+    maps = [id2orig, basec_map_rev] if basec_map_rev else [id2orig]
+    try:
+        (qp_o, qg_o), (bp_o, bg_o) = (
+            map2original([q_pred, q_gold], maps),
+            map2original([b_pred, b_gold], maps))
+    except KeyError:
+        qp_o = qg_o = bp_o = bg_o = None
+    n_rows = len(q_gold) + len(b_gold)
+    preds_rows["Episode"] += [idx] * n_rows
+    preds_rows["Gold"] += list(q_gold) + list(b_gold)
+    preds_rows["Prediction"] += list(q_pred) + list(b_pred)
+    if qp_o is not None:
+        preds_rows["Original_Gold"] += list(qg_o) + list(bg_o)
+        preds_rows["Original_Prediction"] += list(qp_o) + list(bp_o)
+    else:
+        preds_rows["Original_Gold"] += [-1] * n_rows
+        preds_rows["Original_Prediction"] += [-1] * n_rows
+
+
+def predictions_csv_name(opt) -> str:
+    """The reference's prediction-dump filename (language_eval.py:436)."""
+    return (f"csv_files_mem/seed_{opt.set_seed}_{opt.dataset}_"
+            f"{opt.n_shots}_{opt.label_pull}_{opt.attraction_override}"
+            f"_continual_{opt.continual}_mem_{opt.memory_replay}"
+            f"_predictions.csv")
+
+
 def save_predictions_csv(path: str, rows: Dict[str, np.ndarray]) -> None:
     """Prediction dump in the reference's schema
     (language_eval.py:429-438): Episode, Gold, Prediction, Original_Gold,

@@ -1,6 +1,7 @@
 """Vmapped multi-seed engine must reproduce independent single-seed runs."""
 
 import copy
+import os
 
 import numpy as np
 import pytest
@@ -144,3 +145,42 @@ def test_run_seeds_seed_batch_groups(monkeypatch, capsys):
     np.testing.assert_allclose(out["novel"]["mean"], 53.0)
     np.testing.assert_allclose(out["base"]["mean"], 63.0)
     assert len(out["weighted_traces"]) == 5
+
+
+def test_multiseed_save_preds_matches_single_seed(env, tmp_path,
+                                                  monkeypatch):
+    """--save_preds_0 in the vmapped engine writes the reference-named
+    per-seed prediction CSVs with the same contents as the stand-alone
+    engine run for that seed."""
+    import glob
+
+    seed = 3
+    inp = _seed_inputs(env, seed, 100)
+    inp["opt"].save_preds_0 = True
+
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    monkeypatch.chdir(single_dir)
+    few_shot_finetune_incremental_test(
+        env["backbone"], inp["variables"], inp["head"], {}, inp["opt"],
+        meta_sampler=inp["meta_sampler"], base_test_split=inp["base_test"],
+        base_support_sampler=inp["base_support"], verbose=False,
+        pallas_mode="off")
+    single_csv = glob.glob(str(single_dir / "csv_files_mem" / "*.csv"))
+    assert len(single_csv) == 1
+
+    multi_dir = tmp_path / "multi"
+    multi_dir.mkdir()
+    monkeypatch.chdir(multi_dir)
+    inp2 = _seed_inputs(env, seed, 100)
+    inp2["opt"].save_preds_0 = True
+    few_shot_finetune_multiseed(
+        env["backbone"], [inp2["variables"]], [inp2["head"]], [{}],
+        [inp2["opt"]], [inp2["meta_sampler"]], [inp2["base_test"]],
+        [inp2["base_support"]])
+    inp2["opt"].save_preds_0 = False
+    multi_csv = glob.glob(str(multi_dir / "csv_files_mem" / "*.csv"))
+    assert len(multi_csv) == 1
+    assert (os.path.basename(multi_csv[0])
+            == os.path.basename(single_csv[0]))
+    assert open(multi_csv[0]).read() == open(single_csv[0]).read()
