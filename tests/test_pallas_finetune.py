@@ -176,3 +176,74 @@ def test_pallas_matches_reference(pull_mode, memory_on):
     # stats lanes 3/4 carry the last training epoch's support accuracies
     np.testing.assert_allclose(float(stats[0, 3]), tr[ep, 1], atol=1e-5)
     np.testing.assert_allclose(float(stats[0, 4]), tr[ep, 2], atol=1e-5)
+
+
+def test_pallas_tiered_geometry_interpret():
+    """Tiered-size geometry (512 padded classes, 351 base) through the
+    kernel in interpret mode (no VMEM constraint) against the jnp
+    reference loop — validates the in-kernel iota targets at large C."""
+    c_pad, d = 512, 128
+    n_sup_pad, n_mem_pad = 64, 32
+    r = np.random.RandomState(7)
+    n_sup, mem_count = 40, 16
+    orig_base, n_ways = 351, 5
+    n_active, n_reserved = orig_base + 2 * n_ways, 5
+
+    f_sup = np.zeros((n_sup_pad, d), np.float32)
+    f_sup[:n_sup] = r.randn(n_sup, d)
+    y_sup = np.zeros(n_sup_pad, np.int64)
+    y_sup[:n_sup] = r.randint(n_active - n_ways, n_active, n_sup)
+    f_mem = np.zeros((n_mem_pad, d), np.float32)
+    y_mem = np.zeros(n_mem_pad, np.int64)
+    f_mem[:mem_count] = r.randn(mem_count, d)
+    y_mem[:mem_count] = r.randint(0, orig_base, mem_count)
+
+    w = np.zeros((c_pad, d), np.float32)
+    w[:n_active] = 0.1 * r.randn(n_active, d)
+    w0 = np.zeros_like(w)
+    w0[:orig_base] = w[:orig_base] + 0.01 * r.randn(orig_base, d)
+    reserved = np.zeros_like(w)
+    reserved[orig_base:orig_base + n_reserved] = 0.1 * r.randn(n_reserved, d)
+    mom = np.zeros_like(w)
+    q, _ = np.linalg.qr(w0[:orig_base].T)
+    pull_M = (np.eye(d) - q @ q.T).astype(np.float32)
+    pull_T = np.zeros_like(w)
+
+    hp = (0.01, 5e-3, 0.9, 0.2, 0.1, 0.5, 1e-4, 0.0, 3, 12, 4,
+          n_active, n_reserved, 5.0, 0.0, orig_base, n_ways)
+    flags = (True, True, True, "subspace", True)
+
+    # reuse the module's reference loop at this C_PAD
+    global C_PAD
+    old_cpad = C_PAD
+    C_PAD = c_pad
+    try:
+        w_ref, loss_ref, epoch_ref = _reference_loop(
+            f_sup.copy(), y_sup, n_sup, f_mem.copy(), y_mem, mem_count,
+            w.copy(), mom.copy(), w0, reserved, pull_M, pull_T, hp, flags)
+    finally:
+        C_PAD = old_cpad
+
+    from subspace_reg_tpu.ops.pallas.finetune import label_tile
+    scalars = pack_scalars(
+        lr=0.01, wd=5e-3, momentum=0.9, lmbd_base=0.2, lmbd_novel=0.1,
+        gamma=0.5, eps=1e-4, target_loss=0.0, min_epochs=3, max_epochs=12,
+        stable_target=4, n_active=n_active, n_reserved=n_reserved,
+        mem_count=mem_count, prev_loss0=5.0, stable0=0.0,
+        orig_base=orig_base, n_ways=n_ways)
+
+    w_out, stats, trace = finetune_loop_pallas(
+        jnp.asarray(f_sup), label_tile(y_sup, n_sup_pad),
+        jnp.asarray(f_mem), label_tile(y_mem, n_mem_pad),
+        jnp.asarray(w), jnp.asarray(mom), jnp.asarray(w0),
+        jnp.asarray(reserved), jnp.asarray(pull_M), jnp.asarray(pull_T),
+        scalars,
+        n_sup=n_sup, memory_on=True, use_regbase=True, use_regnovel=True,
+        pull_mode="subspace", stable_mode=True, orig_base=orig_base,
+        n_ways=n_ways, trace_rows=16, interpret=True)
+
+    assert int(stats[0, 1]) == int(epoch_ref)
+    np.testing.assert_allclose(float(stats[0, 0]), loss_ref,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_out), w_ref,
+                               rtol=2e-4, atol=2e-5)
