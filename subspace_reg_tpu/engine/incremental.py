@@ -125,11 +125,19 @@ def session_count(opt) -> int:
 
 def build_geometry(opt, n_base: int, img_size: int,
                    base_eval_n: int, feat_dim: int = 640,
-                   max_sessions: int = None) -> SessionGeometry:
+                   max_sessions: int = None,
+                   has_base_support: bool = True) -> SessionGeometry:
+    """``has_base_support=False`` forces the no-exemplar geometry even when
+    ``opt.n_base_support_samples > 0`` — the engine passes the actual
+    sampler presence so the compiled program's row counts always match the
+    real support batch (a caller that sets the flag but provides no
+    sampler would otherwise make the Pallas CE average over
+    ``n_base`` phantom zero-feature rows)."""
     return SessionGeometry(
         n_ways=opt.n_ways, n_shots=opt.n_shots,
         n_aug=opt.n_aug_support_samples, n_queries=opt.n_queries,
-        n_base_support=(n_base if opt.n_base_support_samples > 0 else 0),
+        n_base_support=(n_base if (opt.n_base_support_samples > 0
+                                   and has_base_support) else 0),
         orig_base=n_base,
         max_sessions=(session_count(opt) if max_sessions is None
                       else max_sessions),
@@ -1059,7 +1067,8 @@ def few_shot_finetune_incremental_test(
     base_eval_n = opt.test_base_batch_size // 2
     geo = build_geometry(opt, n_base=int(head0.n_active),
                          img_size=img_size, base_eval_n=base_eval_n,
-                         feat_dim=int(head0.in_dim))
+                         feat_dim=int(head0.in_dim),
+                         has_base_support=base_support_sampler is not None)
     with_bias = head0.bias is not None
     if with_bias and opt.lmbd_reg_novel is not None:
         raise NotImplementedError(

@@ -93,7 +93,8 @@ def few_shot_finetune_multiseed(
     head0 = per_seed_heads[0]
     geo = build_geometry(opt0, n_base=int(head0.n_active),
                          img_size=img_size, base_eval_n=base_eval_n,
-                         feat_dim=int(head0.in_dim))
+                         feat_dim=int(head0.in_dim),
+                         has_base_support=per_seed_base_support is not None)
     with_bias = head0.bias is not None
     assert not with_bias, "multiseed path targets the no-bias golden config"
 

@@ -368,3 +368,45 @@ def test_chunked_eval_forwards_match_unchunked(env):
                                atol=1e-4)
     np.testing.assert_allclose(got.weighted_avg_l, ref.weighted_avg_l,
                                atol=1e-4)
+
+
+def test_verbose_pallas_trace_matches_xla_trace(env, capsys):
+    """The per-10-epoch lines printed from the Pallas kernel's device trace
+    must equal the XLA while_loop path's, value for value."""
+    import re
+    opt = env["opt"]
+    for k, v in dict(label_pull=1.0,
+                     attraction_override="distance2subspace",
+                     max_novel_epochs=15, min_novel_epochs=12,
+                     stable_epochs=50, verbose=True).items():
+        setattr(opt, k, v)
+
+    def run(mode):
+        meta_sampler = EpisodeSampler(env["novel"], opt, split="val",
+                                      disjoint_classes=True)
+        return few_shot_finetune_incremental_test(
+            env["backbone"], env["variables"], env["head0"], {}, opt,
+            meta_sampler=meta_sampler, base_test_split=env["base_test"],
+            verbose=True, pallas_mode=mode)
+
+    try:
+        run("off")
+        xla_out = capsys.readouterr().out
+        run("interpret")
+        pallas_out = capsys.readouterr().out
+    finally:
+        opt.verbose = False
+        opt.min_novel_epochs = 5
+        opt.stable_epochs = 3
+        opt.label_pull = None
+        opt.attraction_override = None
+    pat = re.compile(r"Novel Epoch\s+(\d+)\s+Train Loss\s+([\d.]+)\s+"
+                     r"Acc@1\s+([\d.]+)\s+Acc@5\s+([\d.]+)")
+    xla_lines = pat.findall(xla_out)
+    pallas_lines = pat.findall(pallas_out)
+    assert xla_lines and len(xla_lines) == len(pallas_lines)
+    for (e1, l1, a1, a5), (e2, l2, b1, b5) in zip(xla_lines, pallas_lines):
+        assert e1 == e2
+        assert abs(float(l1) - float(l2)) < 5e-3
+        assert abs(float(a1) - float(b1)) < 1.0
+        assert abs(float(a5) - float(b5)) < 1.0
