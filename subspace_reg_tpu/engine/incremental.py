@@ -147,7 +147,7 @@ def build_geometry(opt, n_base: int, img_size: int,
 # --------------------------------------------------------------------------
 # the jitted session program
 # --------------------------------------------------------------------------
-def _run_pallas_loop(opt, geo, params, mom_e1, l1, a1_e1, a5_e1,
+def _run_pallas_loop(opt, geo, params, mom_e1, nu_e1, l1, a1_e1, a5_e1,
                      stable_epochs,
                      f_sup, support_y, f_mem, memory_y, memory_count,
                      w0, reserved, n_reserved, sem_pullers, n_active,
@@ -171,6 +171,7 @@ def _run_pallas_loop(opt, geo, params, mom_e1, l1, a1_e1, a5_e1,
     f_mem_p = pad2(f_mem, nm_pad, d_pad)
     w_p = pad2(params["w"], c_pad, d_pad)
     mom_p = pad2(mom_e1, c_pad, d_pad)
+    nu_p = pad2(nu_e1, c_pad, d_pad) if nu_e1 is not None else dummy
     w0_p = pad2(w0, c_pad, d_pad) if lmbd_base is not None else dummy
     if lmbd_novel is not None:
         res_p = jnp.zeros((c_pad, d_pad), f32)
@@ -199,8 +200,10 @@ def _run_pallas_loop(opt, geo, params, mom_e1, l1, a1_e1, a5_e1,
                 pad2(sem_pullers, geo.n_ways, d_pad),
                 (n_active - geo.n_ways, 0))
 
+    # torch-Adam couples a HARD-CODED wd=5e-4 (reference eval/util.py:93-96)
+    wd_eff = 0.0005 if opt.adam else opt.weight_decay
     scalars = pack_scalars(
-        lr=opt.learning_rate, wd=opt.weight_decay, momentum=opt.momentum,
+        lr=opt.learning_rate, wd=wd_eff, momentum=opt.momentum,
         lmbd_base=(lmbd_base or 0.0), lmbd_novel=(lmbd_novel or 0.0),
         gamma=(label_pull or 0.0), eps=opt.convergence_epsilon,
         target_loss=opt.target_train_loss, min_epochs=opt.min_novel_epochs,
@@ -211,13 +214,14 @@ def _run_pallas_loop(opt, geo, params, mom_e1, l1, a1_e1, a5_e1,
 
     w_out, stats, trace_raw = finetune_loop_pallas(
         f_sup_p, y_sup_t, f_mem_p, y_mem_t,
-        w_p, mom_p, w0_p, res_p, pull_M, pull_T, scalars,
+        w_p, mom_p, nu_p, w0_p, res_p, pull_M, pull_T, scalars,
         n_sup=geo.n_support, memory_on=memory_on,
         use_regbase=(lmbd_base is not None),
         use_regnovel=(lmbd_novel is not None),
         pull_mode=pull_mode, stable_mode=stable_mode,
         orig_base=geo.orig_base, n_ways=geo.n_ways,
-        trace_rows=_trace_rows(opt), interpret=interpret)
+        trace_rows=_trace_rows(opt), use_adam=bool(opt.adam),
+        interpret=interpret)
 
     w = w_out[: geo.max_classes, : geo.feat_dim]
     params = {"w": w}
@@ -489,6 +493,8 @@ def _pallas_vmem_bytes(geo: SessionGeometry, opt=None) -> int:
     big = 4
     dd = 0
     if opt is not None:
+        if getattr(opt, "adam", False):
+            big += 2                                   # nu operand + carry
         if opt.lmbd_reg_transform_w is not None:
             big += 1                                   # w0
         if opt.lmbd_reg_novel is not None:
@@ -513,7 +519,7 @@ def _resolve_pallas(pallas_mode: str, opt, with_bias: bool,
     when the geometry fits the kernel's VMEM budget."""
     if pallas_mode == "off":
         return False, False
-    eligible = (not opt.adam) and (not with_bias)
+    eligible = not with_bias       # SGD and Adam both served by the kernel
     if pallas_mode == "interpret":
         # the interpreter has no VMEM constraint — any geometry runs, which
         # is exactly what CPU parity testing of large (tiered) shapes needs
@@ -868,13 +874,23 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
 
         (l1, (a1, a5)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, f_sup_tr, f_mem_tr)
-        mom_e1 = None
+        mom_e1 = nu_e1 = None
         if use_pallas:
-            # manual torch-SGD epoch-1 step: exposes the momentum buffer for
+            # manual epoch-1 step: exposes the optimizer-state buffers for
             # the fused loop; numerically identical to the optax chain
-            g1 = grads["w"] + opt.weight_decay * params["w"]
-            mom_e1 = g1
-            params = {"w": params["w"] - opt.learning_rate * mom_e1}
+            if opt.adam:
+                b1, b2, eps_a = 0.9, 0.999, 1e-8
+                g1 = grads["w"] + 0.0005 * params["w"]   # hard-coded wd
+                mom_e1 = (1.0 - b1) * g1
+                nu_e1 = (1.0 - b2) * g1 * g1
+                mh = mom_e1 / (1.0 - b1)
+                vh = nu_e1 / (1.0 - b2)
+                params = {"w": params["w"]
+                          - opt.learning_rate * mh / (jnp.sqrt(vh) + eps_a)}
+            else:
+                g1 = grads["w"] + opt.weight_decay * params["w"]
+                mom_e1 = g1
+                params = {"w": params["w"] - opt.learning_rate * mom_e1}
         else:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -896,7 +912,7 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
             # v5e vs per-epoch dispatch under lax.while_loop
             (params, train_loss, epoch, acc1, acc5,
              epoch_trace) = _run_pallas_loop(
-                opt, geo, params, mom_e1, l1, a1, a5, stable_epochs,
+                opt, geo, params, mom_e1, nu_e1, l1, a1, a5, stable_epochs,
                 f_sup, support_y, f_mem, memory_y, memory_count,
                 w0, reserved, n_reserved, sem_pullers, n_active,
                 memory_on, lmbd_base, lmbd_novel, label_pull, dist2sub,

@@ -50,10 +50,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _make_kernel(cfg):
     (n_sup, memory_on, use_regbase, use_regnovel, pull_mode,
-     stable_mode, c_pad, d, trace_rows) = cfg
+     stable_mode, use_adam, c_pad, d, trace_rows) = cfg
 
     def kernel(f_sup_ref, y_sup_ref, f_mem_ref, y_mem_ref,
-               w_ref, mom_ref, w0_ref, reserved_ref,
+               w_ref, mom_ref, nu_ref, w0_ref, reserved_ref,
                pull_op_ref, pull_tgt_ref, scalars_ref,
                w_out_ref, stats_out_ref, trace_out_ref):
         f_sup = f_sup_ref[:]
@@ -76,6 +76,9 @@ def _make_kernel(cfg):
         stable0 = scalars_ref[15]
         acc1_0 = scalars_ref[18]
         acc5_0 = scalars_ref[19]
+        b1 = scalars_ref[20]
+        b2 = scalars_ref[21]
+        eps_a = scalars_ref[22]
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (c_pad, d), 0)
         rows_f = rows.astype(jnp.float32)
@@ -178,10 +181,25 @@ def _make_kernel(cfg):
 
             return loss, g, acc1, acc5
 
-        def sgd(w, mom, g):
+        def opt_step(w, m, v, p1, p2, g):
+            """torch-coupled update: wd into the gradient first, then
+            SGD-momentum or Adam with optax's bias correction (the XLA
+            path's optax chain; tests pin equality).  ``p1``/``p2`` carry
+            b1^t / b2^t via a multiplicative recurrence — Mosaic cannot
+            legalize a scalar powf."""
             g = g + wd * w
-            mom = momentum * mom + g
-            return w - lr * mom, mom
+            if use_adam:
+                p1 = p1 * b1
+                p2 = p2 * b2
+                m = b1 * m + (1.0 - b1) * g
+                v = b2 * v + (1.0 - b2) * g * g
+                mh = m / (1.0 - p1)
+                vh = v / (1.0 - p2)
+                w = w - lr * mh / (jnp.sqrt(vh) + eps_a)
+            else:
+                m = momentum * m + g
+                w = w - lr * m
+            return w, m, v, p1, p2
 
         def stop_logic(loss, prev_loss, stable, epoch):
             stop = jnp.asarray(False)
@@ -194,15 +212,15 @@ def _make_kernel(cfg):
             return stable, stop
 
         def cond(carry):
-            return ~carry[5]
+            return ~carry[8]           # stop flag
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
         def body(carry):
-            w, mom, prev_loss, stable, epoch, _, _, _ = carry
+            w, mom, nu, p1, p2, prev_loss, stable, epoch, _, _, _ = carry
             epoch = epoch + 1.0
             loss, g, acc1, acc5 = loss_and_grad(w)
-            w, mom = sgd(w, mom, g)
+            w, mom, nu, p1, p2 = opt_step(w, mom, nu, p1, p2, g)
             stable, stop = stop_logic(loss, prev_loss, stable, epoch)
             # per-epoch (loss, acc1, acc5) trace row for observability —
             # read back by the host for the --verbose per-10-epoch prints
@@ -210,7 +228,8 @@ def _make_kernel(cfg):
                             jnp.where(lane == 1, acc1,
                                       jnp.where(lane == 2, acc5, 0.0)))
             trace_out_ref[pl.dslice(epoch.astype(jnp.int32), 1), :] = row
-            return (w, mom, loss, stable, epoch, stop, acc1, acc5)
+            return (w, mom, nu, p1, p2, loss, stable, epoch, stop,
+                    acc1, acc5)
 
         # epoch 1 already ran outside (train-mode features, one SGD step);
         # ``stable0``/``prev_loss0`` carry its post-update convergence state,
@@ -224,10 +243,13 @@ def _make_kernel(cfg):
                                  & (1.0 >= min_epochs + 1.0))
 
         trace_out_ref[:] = jnp.zeros((trace_rows, 128), jnp.float32)
-        carry = (w_ref[:], mom_ref[:], prev_loss0, stable_init,
+        mom0 = mom_ref[:]
+        nu0 = nu_ref[:] if use_adam else mom0   # unused in SGD mode
+        # bias-correction powers after the engine's epoch-1 step: b^1
+        carry = (w_ref[:], mom0, nu0, b1, b2, prev_loss0, stable_init,
                  jnp.asarray(1.0), stop_init, acc1_0, acc5_0)
-        w, mom, loss, stable, epoch, _, acc1, acc5 = jax.lax.while_loop(
-            cond, body, carry)
+        (w, mom, nu, p1, p2, loss, stable, epoch, _, acc1,
+         acc5) = jax.lax.while_loop(cond, body, carry)
 
         w_out_ref[:] = w
         stats = jnp.where(lane == 0, loss,
@@ -245,15 +267,15 @@ def _make_kernel(cfg):
 @functools.partial(
     jax.jit,
     static_argnames=("n_sup", "memory_on", "use_regbase", "use_regnovel",
-                     "pull_mode", "stable_mode", "orig_base", "n_ways",
-                     "trace_rows", "interpret"))
+                     "pull_mode", "stable_mode", "use_adam", "orig_base",
+                     "n_ways", "trace_rows", "interpret"))
 def finetune_loop_pallas(
         f_sup, y_sup, f_mem, y_mem,
-        w, mom, w0, reserved, pull_op, pull_tgt, scalars,
+        w, mom, nu, w0, reserved, pull_op, pull_tgt, scalars,
         *, n_sup: int, memory_on: bool, use_regbase: bool,
         use_regnovel: bool, pull_mode: str, stable_mode: bool,
         orig_base: int, n_ways: int, trace_rows: int = 8,
-        interpret: bool = False):
+        use_adam: bool = False, interpret: bool = False):
     """Run the fused loop.  All arrays pre-padded by the caller:
     f_sup (Ns,D); y_sup (Ns,128) f32 labels tiled across lanes;
     f_mem (Nm,D); y_mem (Nm,128); w/mom/w0/reserved/pull_tgt (Cp,D);
@@ -264,24 +286,27 @@ def finetune_loop_pallas(
     ``trace_rows`` must exceed ``max_epochs`` (row e of the trace output
     holds epoch e's pre-update (loss, acc1, acc5); rows 0-1 stay zero —
     epoch 1 runs outside the kernel).
+    ``mom``/``nu`` carry the optimizer state after the engine's manual
+    epoch-1 step: SGD momentum (``nu`` ignored — pass a dummy) or Adam
+    first/second moments (``use_adam=True``; scalars 20-22 = b1, b2, eps).
     Returns (w_final (Cp,D), stats (1,128), trace (trace_rows,128))."""
     c_pad, d = w.shape
     cfg = (float(n_sup), memory_on, use_regbase, use_regnovel, pull_mode,
-           stable_mode, c_pad, d, trace_rows)
+           stable_mode, use_adam, c_pad, d, trace_rows)
     kernel = _make_kernel(cfg)
     out = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((c_pad, d), jnp.float32),
                    jax.ShapeDtypeStruct((1, 128), jnp.float32),
                    jax.ShapeDtypeStruct((trace_rows, 128), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(f_sup, y_sup, f_mem, y_mem,
-      w, mom, w0, reserved, pull_op, pull_tgt, scalars)
+      w, mom, nu, w0, reserved, pull_op, pull_tgt, scalars)
     return out
 
 
@@ -295,12 +320,14 @@ def label_tile(y, n_rows: int) -> jnp.ndarray:
 def pack_scalars(lr, wd, momentum, lmbd_base, lmbd_novel, gamma, eps,
                  target_loss, min_epochs, max_epochs, stable_target,
                  n_active, n_reserved, mem_count, prev_loss0, stable0,
-                 orig_base, n_ways, acc1_0=0.0, acc5_0=0.0) -> jnp.ndarray:
+                 orig_base, n_ways, acc1_0=0.0, acc5_0=0.0,
+                 adam_b1=0.9, adam_b2=0.999,
+                 adam_eps=1e-8) -> jnp.ndarray:
     s = jnp.zeros((32,), jnp.float32)
     vals = [lr, wd, momentum, lmbd_base, lmbd_novel, gamma, eps,
             target_loss, min_epochs, max_epochs, stable_target,
             n_active, n_reserved, mem_count, prev_loss0, stable0,
-            orig_base, n_ways, acc1_0, acc5_0]
+            orig_base, n_ways, acc1_0, acc5_0, adam_b1, adam_b2, adam_eps]
     for i, v in enumerate(vals):
         s = s.at[i].set(jnp.asarray(v, jnp.float32))
     return s

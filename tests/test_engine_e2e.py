@@ -183,12 +183,19 @@ def test_general_freeze_backbone_at(env):
 
 def test_adam_optimizer_path(env):
     """--adam uses torch-Adam semantics with wd 5e-4 (eval/util.py:92-96);
-    Pallas loop is ineligible, the XLA loop must serve."""
+    the fused Pallas loop serves it too and must match the XLA loop."""
     res = _run(env, label_pull=None, attraction_override=None,
                adam=True, max_novel_epochs=10)
+    got = _run(env, pallas_mode="interpret", label_pull=None,
+               attraction_override=None, adam=True, max_novel_epochs=10)
     env["opt"].adam = False
     assert len(res.acc_novel_list) == 8
     assert np.isfinite(res.acc_novel_avg)
+    assert got.epochs_per_session == res.epochs_per_session
+    np.testing.assert_allclose(got.acc_novel_list, res.acc_novel_list,
+                               atol=0.75)
+    np.testing.assert_allclose(got.acc_base_list, res.acc_base_list,
+                               atol=0.75)
 
 
 def test_bias_head_path(env):

@@ -150,7 +150,8 @@ def test_pallas_matches_reference(pull_mode, memory_on):
     w_out, stats, trace = finetune_loop_pallas(
         jnp.asarray(f_sup), jnp.asarray(y_sup_t),
         jnp.asarray(f_mem), jnp.asarray(y_mem_t),
-        jnp.asarray(w), jnp.asarray(mom), jnp.asarray(w0),
+        jnp.asarray(w), jnp.asarray(mom), jnp.zeros((8, 128), jnp.float32),
+        jnp.asarray(w0),
         jnp.asarray(reserved), jnp.asarray(pull_M), jnp.asarray(pull_T),
         scalars,
         n_sup=n_sup, memory_on=memory_on, use_regbase=True,
@@ -235,7 +236,8 @@ def test_pallas_tiered_geometry_interpret():
     w_out, stats, trace = finetune_loop_pallas(
         jnp.asarray(f_sup), label_tile(y_sup, n_sup_pad),
         jnp.asarray(f_mem), label_tile(y_mem, n_mem_pad),
-        jnp.asarray(w), jnp.asarray(mom), jnp.asarray(w0),
+        jnp.asarray(w), jnp.asarray(mom), jnp.zeros((8, 128), jnp.float32),
+        jnp.asarray(w0),
         jnp.asarray(reserved), jnp.asarray(pull_M), jnp.asarray(pull_T),
         scalars,
         n_sup=n_sup, memory_on=True, use_regbase=True, use_regnovel=True,
@@ -247,3 +249,96 @@ def test_pallas_tiered_geometry_interpret():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(w_out), w_ref,
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_adam_matches_reference():
+    """Adam mode: the in-kernel optax-style bias-corrected update (coupled
+    wd=5e-4 into the gradient first) against a numpy re-derivation."""
+    r = np.random.RandomState(3)
+    n_sup = 40
+    orig_base, n_ways = 20, 5
+    n_active = 30
+    lr, wd, b1, b2, eps_a = 0.01, 0.0005, 0.9, 0.999, 1e-8
+    max_e = 20
+
+    f_sup = np.zeros((N_SUP_PAD, D), np.float32)
+    f_sup[:n_sup] = r.randn(n_sup, D).astype(np.float32)
+    y_sup = np.zeros(N_SUP_PAD, np.int64)
+    y_sup[:n_sup] = r.randint(25, 30, n_sup)
+    w = np.zeros((C_PAD, D), np.float32)
+    w[:n_active] = 0.1 * r.randn(n_active, D)
+    w0 = np.zeros_like(w)
+    w0[:orig_base] = w[:orig_base] + 0.01 * r.randn(orig_base, D)
+
+    # numpy reference: CE + base anchor, Adam from the engine's epoch-1
+    # state (m1, v1 after step 1), epochs 2..max_e (stable off => runs to
+    # max)
+    rows = np.arange(C_PAD)
+
+    def loss_grad(wc):
+        logits = f_sup @ wc.T
+        cm = rows[None, :] < n_active
+        rm = (np.arange(N_SUP_PAD) < n_sup)[:, None] & cm
+        logits = np.where(rm, logits, NEG)
+        mx = logits.max(1, keepdims=True)
+        e = np.exp(logits - mx)
+        p = e / e.sum(1, keepdims=True)
+        logp = logits - mx - np.log(e.sum(1, keepdims=True))
+        oh = np.zeros_like(p)
+        oh[np.arange(n_sup), y_sup[:n_sup]] = 1
+        loss = -(oh * logp).sum() / n_sup
+        g = ((p * rm - oh) / n_sup).T @ f_sup
+        diff = (wc - w0) * (rows < orig_base)[:, None]
+        nrm = np.sqrt((diff ** 2).sum())
+        loss += 0.2 * nrm
+        g = g + (0.2 * diff / nrm if nrm > 0 else 0)
+        return loss, g
+
+    # epoch-1 (the engine does this outside the kernel)
+    wc = w.copy()
+    l1, g = loss_grad(wc)
+    g = g + wd * wc
+    m = (1 - b1) * g
+    v = (1 - b2) * g * g
+    wc = wc - lr * (m / (1 - b1)) / (np.sqrt(v / (1 - b2)) + eps_a)
+    loss = l1
+    for epoch in range(2, max_e + 1):
+        loss, g = loss_grad(wc)
+        g = g + wd * wc
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        mh = m / (1 - b1 ** epoch)
+        vh = v / (1 - b2 ** epoch)
+        wc = wc - lr * mh / (np.sqrt(vh) + eps_a)
+
+    # kernel run starting from the same post-epoch-1 state
+    w_e1 = w.copy()
+    l1_k, g1 = loss_grad(w_e1)
+    g1 = g1 + wd * w_e1
+    m1 = (1 - b1) * g1
+    v1 = (1 - b2) * g1 * g1
+    w_e1 = w_e1 - lr * (m1 / (1 - b1)) / (np.sqrt(v1 / (1 - b2)) + eps_a)
+
+    y_sup_t = np.broadcast_to(y_sup.astype(np.float32)[:, None],
+                              (N_SUP_PAD, 128)).copy()
+    scalars = pack_scalars(
+        lr=lr, wd=wd, momentum=0.9, lmbd_base=0.2, lmbd_novel=0.0,
+        gamma=0.0, eps=1e-4, target_loss=0.0, min_epochs=3,
+        max_epochs=max_e, stable_target=10 ** 6,
+        n_active=n_active, n_reserved=0, mem_count=0,
+        prev_loss0=l1_k, stable0=0.0, orig_base=orig_base, n_ways=n_ways)
+
+    dummy = jnp.zeros((8, 128), jnp.float32)
+    w_out, stats, trace = finetune_loop_pallas(
+        jnp.asarray(f_sup), jnp.asarray(y_sup_t),
+        jnp.zeros((N_MEM_PAD, D)), jnp.zeros((N_MEM_PAD, 128)),
+        jnp.asarray(w_e1), jnp.asarray(m1), jnp.asarray(v1),
+        jnp.asarray(w0), dummy, dummy, dummy, scalars,
+        n_sup=n_sup, memory_on=False, use_regbase=True, use_regnovel=False,
+        pull_mode="none", stable_mode=True, orig_base=orig_base,
+        n_ways=n_ways, trace_rows=32, use_adam=True, interpret=True)
+
+    assert int(stats[0, 1]) == max_e
+    np.testing.assert_allclose(float(stats[0, 0]), loss, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_out), wc, rtol=2e-4, atol=2e-5)
