@@ -150,30 +150,58 @@ def build_geometry(opt, n_base: int, img_size: int,
 def _run_pallas_loop(opt, geo, params, mom_e1, nu_e1, l1, a1_e1, a5_e1,
                      stable_epochs,
                      f_sup, support_y, f_mem, memory_y, memory_count,
-                     w0, reserved, n_reserved, sem_pullers, n_active,
+                     w0, b0, reserved, n_reserved, sem_pullers, n_active,
                      memory_on, lmbd_base, lmbd_novel, label_pull, dist2sub,
                      stable_mode, interpret):
-    """Pad operands and dispatch the fused Pallas fine-tune loop."""
+    """Pad operands and dispatch the fused Pallas fine-tune loop.
+
+    Bias heads use the [W | b] layout: the bias becomes one extra feature
+    column (features gain a matching ones column), so the kernel's CE,
+    update, and stop logic are unchanged and only the reg/pull terms mask
+    the bias column (see the kernel's ``bias_col``)."""
     from ..ops.pallas.finetune import (
         _round_up, finetune_loop_pallas, label_tile, pack_scalars)
 
+    with_bias = "b" in params
+    feat = geo.feat_dim
+    d_eff = feat + (1 if with_bias else 0)
     c_pad = _round_up(geo.max_classes, 128)
-    d_pad = _round_up(geo.feat_dim, 128)
+    d_pad = _round_up(d_eff, 128)
     ns_pad = _round_up(geo.n_support, 8)
     nm_pad = _round_up(max(geo.max_memory, 8), 8)
 
     def pad2(a, r, c):
         return jnp.pad(a, ((0, r - a.shape[0]), (0, c - a.shape[1])))
 
+    def wb(tree):
+        if tree is None:
+            return None
+        if not with_bias:
+            return tree["w"] if isinstance(tree, dict) else tree
+        w = tree["w"]
+        return jnp.concatenate([w, tree["b"][:, None]], axis=1)
+
+    def feats_aug(f):
+        if not with_bias:
+            return f
+        return jnp.concatenate(
+            [f, jnp.ones((f.shape[0], 1), f.dtype)], axis=1)
+
     f32 = jnp.float32
     dummy = jnp.zeros((8, 128), f32)   # placeholder for unread operands
-    f_sup_p = pad2(f_sup, ns_pad, d_pad)
-    f_mem_p = pad2(f_mem, nm_pad, d_pad)
-    w_p = pad2(params["w"], c_pad, d_pad)
-    mom_p = pad2(mom_e1, c_pad, d_pad)
-    nu_p = pad2(nu_e1, c_pad, d_pad) if nu_e1 is not None else dummy
-    w0_p = pad2(w0, c_pad, d_pad) if lmbd_base is not None else dummy
+    f_sup_p = pad2(feats_aug(f_sup), ns_pad, d_pad)
+    f_mem_p = pad2(feats_aug(f_mem), nm_pad, d_pad)
+    w_p = pad2(wb(params), c_pad, d_pad)
+    mom_p = pad2(wb(mom_e1), c_pad, d_pad)
+    nu_p = pad2(wb(nu_e1), c_pad, d_pad) if nu_e1 is not None else dummy
+    if lmbd_base is not None:
+        w0b = (jnp.concatenate([w0, b0[:, None]], axis=1)
+               if with_bias else w0)
+        w0_p = pad2(w0b, c_pad, d_pad)
+    else:
+        w0_p = dummy
     if lmbd_novel is not None:
+        # bias + novel anchor is refused at engine entry (reference crash)
         res_p = jnp.zeros((c_pad, d_pad), f32)
         res_p = jax.lax.dynamic_update_slice(
             res_p, pad2(reserved, reserved.shape[0], d_pad),
@@ -221,10 +249,12 @@ def _run_pallas_loop(opt, geo, params, mom_e1, nu_e1, l1, a1_e1, a5_e1,
         pull_mode=pull_mode, stable_mode=stable_mode,
         orig_base=geo.orig_base, n_ways=geo.n_ways,
         trace_rows=_trace_rows(opt), use_adam=bool(opt.adam),
-        interpret=interpret)
+        bias_col=(feat if with_bias else None), interpret=interpret)
 
-    w = w_out[: geo.max_classes, : geo.feat_dim]
+    w = w_out[: geo.max_classes, : feat]
     params = {"w": w}
+    if with_bias:
+        params["b"] = w_out[: geo.max_classes, feat]
     train_loss = stats[0, 0]
     epoch = stats[0, 1].astype(jnp.int32)
     # support accuracy of the LAST TRAINING EPOCH's forward (pre-update
@@ -474,7 +504,8 @@ def _trace_rows(opt) -> int:
     return ((int(opt.max_novel_epochs) + 2 + 7) // 8) * 8
 
 
-def _pallas_vmem_bytes(geo: SessionGeometry, opt=None) -> int:
+def _pallas_vmem_bytes(geo: SessionGeometry, opt=None,
+                       with_bias: bool = False) -> int:
     """Estimated VMEM working set of the fused fine-tune kernel (operands
     + logits/grad work buffers, f32).  One-hot targets/masks are built
     in-kernel from iota + (N,128) label tiles, so only the transient
@@ -483,7 +514,7 @@ def _pallas_vmem_bytes(geo: SessionGeometry, opt=None) -> int:
     351+40 padded to 512 — can still exceed the ~16MB scoped VMEM."""
     from ..ops.pallas.finetune import _round_up
     c = _round_up(geo.max_classes, 128)
-    d = _round_up(geo.feat_dim, 128)
+    d = _round_up(geo.feat_dim + (1 if with_bias else 0), 128)
     ns = _round_up(geo.n_support, 8)
     nm = _round_up(max(geo.max_memory, 8), 8)
     tr = _trace_rows(opt) if opt is not None else 8
@@ -519,7 +550,9 @@ def _resolve_pallas(pallas_mode: str, opt, with_bias: bool,
     when the geometry fits the kernel's VMEM budget."""
     if pallas_mode == "off":
         return False, False
-    eligible = not with_bias       # SGD and Adam both served by the kernel
+    # every fine-tune variant is kernel-served: SGD/Adam x no-bias/bias
+    # (bias + novel anchor never reaches here — refused at engine entry)
+    eligible = True
     if pallas_mode == "interpret":
         # the interpreter has no VMEM constraint — any geometry runs, which
         # is exactly what CPU parity testing of large (tiered) shapes needs
@@ -527,11 +560,11 @@ def _resolve_pallas(pallas_mode: str, opt, with_bias: bool,
     # Mosaic's scoped-VMEM stack accounting runs ~1.3x this estimator
     # (measured on v5e: tiered geometry estimated 14.9MB compiled to a
     # 19.04MB stack against the 16MB limit), so gate at 11.5MB estimated
-    if geo is not None and _pallas_vmem_bytes(geo, opt) > int(11.5 * 2**20):
+    if geo is not None and _pallas_vmem_bytes(geo, opt, with_bias) > int(11.5 * 2**20):
         if pallas_mode == "on":
             raise ValueError(
                 "fused Pallas fine-tune loop does not fit VMEM for this "
-                f"geometry ({_pallas_vmem_bytes(geo, opt) / 1e6:.1f}MB "
+                f"geometry ({_pallas_vmem_bytes(geo, opt, with_bias) / 1e6:.1f}MB "
                 "est.); use pallas_mode='off' (XLA while_loop)")
         return False, False
     if pallas_mode == "on":
@@ -876,21 +909,25 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
             params, f_sup_tr, f_mem_tr)
         mom_e1 = nu_e1 = None
         if use_pallas:
-            # manual epoch-1 step: exposes the optimizer-state buffers for
-            # the fused loop; numerically identical to the optax chain
+            # manual epoch-1 step over the whole head tree (weight + bias):
+            # exposes the optimizer-state buffers for the fused loop;
+            # numerically identical to the optax chain
+            tmap = jax.tree_util.tree_map
             if opt.adam:
                 b1, b2, eps_a = 0.9, 0.999, 1e-8
-                g1 = grads["w"] + 0.0005 * params["w"]   # hard-coded wd
-                mom_e1 = (1.0 - b1) * g1
-                nu_e1 = (1.0 - b2) * g1 * g1
-                mh = mom_e1 / (1.0 - b1)
-                vh = nu_e1 / (1.0 - b2)
-                params = {"w": params["w"]
-                          - opt.learning_rate * mh / (jnp.sqrt(vh) + eps_a)}
+                g1 = tmap(lambda g, p: g + 0.0005 * p, grads, params)
+                mom_e1 = tmap(lambda g: (1.0 - b1) * g, g1)
+                nu_e1 = tmap(lambda g: (1.0 - b2) * g * g, g1)
+                params = tmap(
+                    lambda p, m, v: p - opt.learning_rate
+                    * (m / (1.0 - b1))
+                    / (jnp.sqrt(v / (1.0 - b2)) + eps_a),
+                    params, mom_e1, nu_e1)
             else:
-                g1 = grads["w"] + opt.weight_decay * params["w"]
-                mom_e1 = g1
-                params = {"w": params["w"] - opt.learning_rate * mom_e1}
+                mom_e1 = tmap(lambda g, p: g + opt.weight_decay * p,
+                              grads, params)
+                params = tmap(lambda p, m: p - opt.learning_rate * m,
+                              params, mom_e1)
         else:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -914,7 +951,7 @@ def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
              epoch_trace) = _run_pallas_loop(
                 opt, geo, params, mom_e1, nu_e1, l1, a1, a5, stable_epochs,
                 f_sup, support_y, f_mem, memory_y, memory_count,
-                w0, reserved, n_reserved, sem_pullers, n_active,
+                w0, b0, reserved, n_reserved, sem_pullers, n_active,
                 memory_on, lmbd_base, lmbd_novel, label_pull, dist2sub,
                 stable_mode, pallas_interpret)
         else:

@@ -50,7 +50,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _make_kernel(cfg):
     (n_sup, memory_on, use_regbase, use_regnovel, pull_mode,
-     stable_mode, use_adam, c_pad, d, trace_rows) = cfg
+     stable_mode, use_adam, bias_col, c_pad, d, trace_rows) = cfg
 
     def kernel(f_sup_ref, y_sup_ref, f_mem_ref, y_mem_ref,
                w_ref, mom_ref, nu_ref, w0_ref, reserved_ref,
@@ -82,6 +82,14 @@ def _make_kernel(cfg):
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (c_pad, d), 0)
         rows_f = rows.astype(jnp.float32)
+        # bias-as-feature-column layout: W' = [W | b]; the reg/pull terms
+        # need to treat the bias column separately (reference regloss:
+        # UN-squared weight norm but SQUARED bias norm,
+        # models/resnet_language.py:229-233; the pull never touches bias)
+        if bias_col is not None:
+            wcols = jax.lax.broadcasted_iota(jnp.int32, (c_pad, d), 1)
+            colw = (wcols != bias_col).astype(jnp.float32)
+            colb = (wcols == bias_col).astype(jnp.float32)
         base_m = (rows_f < scalars_ref[16]).astype(jnp.float32)   # orig_base
         novel_m = ((rows_f >= scalars_ref[16])
                    & (rows_f < scalars_ref[16] + n_reserved)
@@ -152,12 +160,19 @@ def _make_kernel(cfg):
 
             if use_regbase:
                 diff = (w - w0_ref[:]) * base_m
+                if bias_col is not None:
+                    diff_b = diff * colb
+                    diff = diff * colw
                 sq = jnp.sum(diff * diff)
                 norm = jnp.sqrt(jnp.where(sq == 0, 1.0, sq))
                 norm = jnp.where(sq == 0, 0.0, norm)
                 loss = loss + lmbd_base * norm
                 inv = jnp.where(norm == 0, 0.0, 1.0 / jnp.maximum(norm, 1e-30))
                 g = g + lmbd_base * diff * inv
+                if bias_col is not None:
+                    # bias term is SQUARED (resnet_language.py:232)
+                    loss = loss + lmbd_base * jnp.sum(diff_b * diff_b)
+                    g = g + 2.0 * lmbd_base * diff_b
 
             if use_regnovel:
                 diff = (w - reserved_ref[:]) * novel_m
@@ -170,12 +185,17 @@ def _make_kernel(cfg):
 
             if pull_mode == "subspace":
                 cur = w * cur_m
+                if bias_col is not None:
+                    cur = cur * colw      # the pull never touches bias
                 v = jnp.dot(cur, pull_op_ref[:],
                             preferred_element_type=jnp.float32)
                 loss = loss + gamma * jnp.sum(v * v)
-                g = g + 2.0 * gamma * v * cur_m
+                gp = 2.0 * gamma * v * cur_m
+                g = g + (gp * colw if bias_col is not None else gp)
             elif pull_mode == "semantic":
                 diff = (w - pull_tgt_ref[:]) * cur_m
+                if bias_col is not None:
+                    diff = diff * colw
                 loss = loss + gamma * jnp.sum(diff * diff)
                 g = g + 2.0 * gamma * diff
 
@@ -267,15 +287,16 @@ def _make_kernel(cfg):
 @functools.partial(
     jax.jit,
     static_argnames=("n_sup", "memory_on", "use_regbase", "use_regnovel",
-                     "pull_mode", "stable_mode", "use_adam", "orig_base",
-                     "n_ways", "trace_rows", "interpret"))
+                     "pull_mode", "stable_mode", "use_adam", "bias_col",
+                     "orig_base", "n_ways", "trace_rows", "interpret"))
 def finetune_loop_pallas(
         f_sup, y_sup, f_mem, y_mem,
         w, mom, nu, w0, reserved, pull_op, pull_tgt, scalars,
         *, n_sup: int, memory_on: bool, use_regbase: bool,
         use_regnovel: bool, pull_mode: str, stable_mode: bool,
         orig_base: int, n_ways: int, trace_rows: int = 8,
-        use_adam: bool = False, interpret: bool = False):
+        use_adam: bool = False, bias_col: int = None,
+        interpret: bool = False):
     """Run the fused loop.  All arrays pre-padded by the caller:
     f_sup (Ns,D); y_sup (Ns,128) f32 labels tiled across lanes;
     f_mem (Nm,D); y_mem (Nm,128); w/mom/w0/reserved/pull_tgt (Cp,D);
@@ -289,10 +310,12 @@ def finetune_loop_pallas(
     ``mom``/``nu`` carry the optimizer state after the engine's manual
     epoch-1 step: SGD momentum (``nu`` ignored — pass a dummy) or Adam
     first/second moments (``use_adam=True``; scalars 20-22 = b1, b2, eps).
+    Bias heads pass ``bias_col`` = the feature index holding the bias
+    column of the [W | b] layout (features carry a matching ones column).
     Returns (w_final (Cp,D), stats (1,128), trace (trace_rows,128))."""
     c_pad, d = w.shape
     cfg = (float(n_sup), memory_on, use_regbase, use_regnovel, pull_mode,
-           stable_mode, use_adam, c_pad, d, trace_rows)
+           stable_mode, use_adam, bias_col, c_pad, d, trace_rows)
     kernel = _make_kernel(cfg)
     out = pl.pallas_call(
         kernel,

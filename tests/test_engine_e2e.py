@@ -217,9 +217,23 @@ def test_bias_head_path(env):
         env["backbone"], env["variables"], head_b, {}, opt,
         meta_sampler=meta_sampler, base_test_split=env["base_test"],
         base_support_sampler=None, verbose=False, pallas_mode="off")
-    opt.lmbd_reg_novel = old_novel
     assert len(res.acc_novel_list) == 8
     assert np.isfinite(res.acc_novel_avg)
+
+    # the fused kernel serves bias heads via the [W | b] layout — must
+    # reproduce the XLA loop (incl. the squared bias regloss term)
+    meta_sampler2 = EpisodeSampler(env["novel"], opt, split="val",
+                                   disjoint_classes=True)
+    got = few_shot_finetune_incremental_test(
+        env["backbone"], env["variables"], head_b, {}, opt,
+        meta_sampler=meta_sampler2, base_test_split=env["base_test"],
+        base_support_sampler=None, verbose=False, pallas_mode="interpret")
+    opt.lmbd_reg_novel = old_novel
+    assert got.epochs_per_session == res.epochs_per_session
+    np.testing.assert_allclose(got.acc_novel_list, res.acc_novel_list,
+                               atol=0.75)
+    np.testing.assert_allclose(got.acc_base_list, res.acc_base_list,
+                               atol=0.75)
 
     # bias + novel anchor must raise (reference resnet_language.py:239 crash)
     opt2 = env["opt"]
