@@ -31,6 +31,9 @@ from subspace_reg_tpu.utils.checkpoint import load_any
 def main(argv=None):
     opt = parse_option_eval(argv)
 
+    from subspace_reg_tpu.utils.jax_setup import configure as jax_configure
+    jax_configure()   # persistent compile cache + TPU hardware RNG
+
     np.random.seed(opt.set_seed)
 
     print("************* Training arguments *************")

@@ -1,0 +1,223 @@
+"""Fused conv3x3 + BatchNorm(train) + LeakyReLU Pallas kernels for the
+pretraining hot path (reference topology models/resnet_language.py:243-301;
+hot loop train_supervised.py:216-244).
+
+Round-2 measured the composed XLA step at 56% of its pure-conv
+speed-of-light: BN-train's serial stats->normalize chain and the block-tail
+glue (residual add, LeakyReLU, MaxPool) cost conv cycles (BASELINE.md:61-118).
+These kernels restructure the stage-1/2 BasicBlocks so that
+
+  * every conv is ONE Pallas matmul in a **paired layout** ``(B, H, W/2, 2C)``
+    — two adjacent output pixels share the MXU's 128 output lanes, lifting
+    the 64-channel stages off the half-lane floor (75% useful-FLOP density
+    vs 50% for a naive Cin=64 im2col),
+  * the previous BN's normalize+LeakyReLU is applied in the kernel PROLOGUE
+    (a per-channel affine folded into the single padded-patch build), so it
+    never costs an HBM pass,
+  * per-channel batch-statistic partial sums come out of the matmul
+    EPILOGUE while the tile is still in VMEM (the XLA path re-reads the
+    925MB stage-1 activation for them),
+  * the block tail (bn3 + downsample-bn + residual add + LeakyReLU +
+    MaxPool2) is one kernel writing only the pooled output plus a 1-byte
+    argmax/sign record per pooled element for the backward pass.
+
+Layout notes.  ``paired(x)[b, h, p, d*C+c] == flat(x)[b, h, 2p+d, c]`` — for
+last-dim-major data this is a pure reshape (no data movement), so entering/
+leaving the paired world is free.  Inside a kernel the even/odd columns of
+the image are the contiguous lane slices ``[:C]``/``[C:2C]``: the 3x3
+window's four source columns per output pair become four CONTIGUOUS slab
+copies (no stride-2 gathers anywhere).
+
+The packed weight matrix is built once per step in XLA:
+``B[(kh*4+cc)*C + ci, d*Cout + co] = W[kh, cc-d, ci, co]`` (zero outside
+0<=cc-d<=2) — 75% dense, K = 12*Cin, N = 2*Cout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# --------------------------------------------------------------------------
+# weight packing (XLA side, tiny)
+# --------------------------------------------------------------------------
+
+def pack_weights_pair(w: jax.Array) -> jax.Array:
+    """(3,3,Cin,Cout) HWIO -> (12*Cin, 2*Cout) for the paired-layout matmul.
+
+    Row index = (kh*4 + cc)*Cin + ci where cc in 0..3 addresses the four
+    window columns of an output PAIR (orig cols 2p-1, 2p, 2p+1, 2p+2);
+    col index = d*Cout + co for output pixel 2p+d.  Entry = W[kh, kw, ci, co]
+    with kw = cc - d when 0 <= cc-d <= 2, else zero.
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    out = jnp.zeros((12 * cin, 2 * cout), w.dtype)
+    for r in range(3):
+        for cc in range(4):
+            for d in range(2):
+                k = cc - d
+                if 0 <= k <= 2:
+                    rows = slice((r * 4 + cc) * cin, (r * 4 + cc + 1) * cin)
+                    cols = slice(d * cout, (d + 1) * cout)
+                    out = out.at[rows, cols].set(w[r, k])
+    return out
+
+
+def pack_weights_1x1_pair(w: jax.Array) -> jax.Array:
+    """(1,1,Cin,Cout) -> (2*Cin, 2*Cout) block-diagonal (per-pixel matmul)."""
+    cin, cout = w.shape[2], w.shape[3]
+    z = jnp.zeros((cin, cout), w.dtype)
+    return jnp.block([[w[0, 0], z], [z, w[0, 0]]])
+
+
+# --------------------------------------------------------------------------
+# fused conv kernel
+# --------------------------------------------------------------------------
+
+def _conv_pair_kernel(x_ref, wp_ref, aff_ref, y_ref, st_ref,
+                      xpad_ref, patch_ref, *, H, P, C2, CO2, relu_in,
+                      n_img):
+    """One grid cell: ``n_img`` images.  x (n,H,P,C2) -> y (n,H,P,CO2).
+
+    aff_ref: (2, C2) f32 — rows (scale, shift) of the input affine (the
+    PREVIOUS layer's folded BN); identity when the caller passes (1, 0).
+    st_ref: (2, CO2) f32 — per-cell partial (sum, sumsq) of the bf16 output.
+    """
+    C = C2 // 2
+    a = aff_ref[0, :].astype(jnp.bfloat16)
+    b = aff_ref[1, :].astype(jnp.bfloat16)
+
+    # padded + transformed input: xpad[i, 1:H+1, 1:P+1, :] = act(x*a+b)
+    xpad_ref[:, :, :, :] = jnp.zeros_like(xpad_ref)
+    xv = x_ref[:, :, :, :]
+    xv = xv * a + b
+    if relu_in:
+        xv = jnp.where(xv > 0, xv, xv * jnp.bfloat16(0.1))
+    xpad_ref[:, 1:H + 1, 1:P + 1, :] = xv
+
+    # patches: A[i, h, p, (kh*4+cc)*C : +C]
+    #   cc=0 -> odd[p-1] = xpad[kh+h, p,   C:2C]
+    #   cc=1 -> even[p]  = xpad[kh+h, p+1, 0:C]
+    #   cc=2 -> odd[p]   = xpad[kh+h, p+1, C:2C]
+    #   cc=3 -> even[p+1]= xpad[kh+h, p+2, 0:C]
+    for r in range(3):
+        patch_ref[:, :, :, (r * 4 + 0) * C:(r * 4 + 1) * C] = \
+            xpad_ref[:, r:r + H, 0:P, C:C2]
+        patch_ref[:, :, :, (r * 4 + 1) * C:(r * 4 + 2) * C] = \
+            xpad_ref[:, r:r + H, 1:P + 1, 0:C]
+        patch_ref[:, :, :, (r * 4 + 2) * C:(r * 4 + 3) * C] = \
+            xpad_ref[:, r:r + H, 1:P + 1, C:C2]
+        patch_ref[:, :, :, (r * 4 + 3) * C:(r * 4 + 4) * C] = \
+            xpad_ref[:, r:r + H, 2:P + 2, 0:C]
+
+    A = patch_ref[:, :, :, :].reshape(n_img * H * P, 12 * C)
+    acc = jnp.dot(A, wp_ref[:, :], preferred_element_type=jnp.float32)
+    yb = acc.astype(jnp.bfloat16)
+    y_ref[:, :, :, :] = yb.reshape(n_img, H, P, CO2)
+
+    # batch-stat partials over the ROUNDED output (matches the XLA path,
+    # which computes stats from the stored bf16 activation)
+    yf = yb.astype(jnp.float32)
+    st_ref[0, 0, :] = jnp.sum(yf, axis=0)
+    st_ref[0, 1, :] = jnp.sum(jnp.square(yf), axis=0)
+
+
+def conv3x3_pair(x: jax.Array, wp: jax.Array,
+                 affine: Optional[Tuple[jax.Array, jax.Array]] = None,
+                 relu_in: bool = False, n_img: int = 1,
+                 interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Fused 3x3 conv over paired-layout input.
+
+    x: (B, H, P, 2Cin) bf16;  wp: (12Cin, 2Cout) bf16 (pack_weights_pair).
+    affine: optional per-lane (scale, shift), each (2Cin,) f32 — the folded
+    BN of the producing layer, applied (with optional LeakyReLU) before the
+    conv.  Returns (y (B,H,P,2Cout) bf16, stats (2, 2Cout) f32) where stats
+    rows are (sum, sum of squares) of y.
+    """
+    B, H, P, C2 = x.shape
+    K, CO2 = wp.shape
+    assert K == 6 * C2, (K, C2)
+    assert B % n_img == 0
+    G = B // n_img
+
+    if affine is None:
+        aff = jnp.stack([jnp.ones((C2,), jnp.float32),
+                         jnp.zeros((C2,), jnp.float32)])
+    else:
+        aff = jnp.stack([affine[0].astype(jnp.float32),
+                         affine[1].astype(jnp.float32)])
+
+    kernel = functools.partial(_conv_pair_kernel, H=H, P=P, C2=C2, CO2=CO2,
+                               relu_in=relu_in, n_img=n_img)
+    y, st = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((n_img, H, P, C2), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, CO2), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C2), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_img, H, P, CO2), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, CO2), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, P, CO2), jnp.bfloat16),
+            jax.ShapeDtypeStruct((G, 2, CO2), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_img, H + 2, P + 2, C2), jnp.bfloat16),
+            pltpu.VMEM((n_img, H, P, 12 * (C2 // 2)), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), wp.astype(jnp.bfloat16), aff)
+    return y, jnp.sum(st, axis=0)
+
+
+# --------------------------------------------------------------------------
+# reference helpers (XLA) for tests and for the stats -> affine fold
+# --------------------------------------------------------------------------
+
+def paired(x: jax.Array) -> jax.Array:
+    """(B,H,W,C) -> (B,H,W/2,2C); pure reshape for last-dim-major data."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H, W // 2, 2 * C)
+
+
+def unpaired(x: jax.Array) -> jax.Array:
+    B, H, P, C2 = x.shape
+    return x.reshape(B, H, 2 * P, C2 // 2)
+
+
+def fold_stats(stats: jax.Array, n: int) -> Tuple[jax.Array, jax.Array]:
+    """(2, 2C) paired partials -> per-channel (mean, biased var) over n
+    elements per channel (n = B*H*W)."""
+    C = stats.shape[1] // 2
+    s1 = stats[0, :C] + stats[0, C:]
+    s2 = stats[1, :C] + stats[1, C:]
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    return mean, var
+
+
+def bn_affine(mean: jax.Array, var: jax.Array, scale: jax.Array,
+              bias: jax.Array, eps: float = 1e-5
+              ) -> Tuple[jax.Array, jax.Array]:
+    """Per-channel (a, b) with y_norm = y*a + b; duplicated for the paired
+    lane layout."""
+    inv = jax.lax.rsqrt(var + eps)
+    a = inv * scale
+    b = bias - mean * a
+    return jnp.concatenate([a, a]), jnp.concatenate([b, b])

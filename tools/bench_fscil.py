@@ -61,6 +61,8 @@ class Opt:
 
 
 def main(pallas_mode="auto"):
+    from subspace_reg_tpu.utils.jax_setup import configure as _jc
+    _jc()
     import jax
     import jax.numpy as jnp
 

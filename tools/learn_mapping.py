@@ -61,6 +61,8 @@ def train_linear_map(label_embeds: np.ndarray, base_weight: np.ndarray,
 
 
 def main(argv=None):
+    from subspace_reg_tpu.utils.jax_setup import configure as _jc
+    _jc()
     p = argparse.ArgumentParser()
     p.add_argument("--model_path", required=True)
     p.add_argument("--save_path", required=True)

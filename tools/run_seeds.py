@@ -77,6 +77,8 @@ def _run_vmapped(args, rest):
 
 
 def main(argv=None):
+    from subspace_reg_tpu.utils.jax_setup import configure as _jc
+    _jc()
     argv = list(sys.argv[1:] if argv is None else argv)
     if "--" in argv:
         split = argv.index("--")

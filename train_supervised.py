@@ -32,9 +32,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    if jax.default_backend() == "tpu":
-        # hardware RNG for dropout/augmentation bits (+4% step time on v5e)
-        jax.config.update("jax_default_prng_impl", "rbg")
+    from subspace_reg_tpu.utils.jax_setup import configure as jax_configure
+    jax_configure()   # persistent compile cache + TPU hardware RNG
 
     opt = parse_option_supervised(argv)
     print("************* Training arguments *************")
