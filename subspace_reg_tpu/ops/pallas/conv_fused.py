@@ -83,7 +83,7 @@ def pack_weights_1x1_pair(w: jax.Array) -> jax.Array:
 
 def _conv_pair_kernel(x_ref, wp_ref, aff_ref, y_ref, st_ref,
                       xpad_ref, patch_ref, *, H, P, C2, CO2, relu_in,
-                      n_img):
+                      n_img, dtype):
     """One grid cell: ``n_img`` images.  x (n,H,P,C2) -> y (n,H,P,CO2).
 
     aff_ref: (2, C2) f32 — rows (scale, shift) of the input affine (the
@@ -91,15 +91,16 @@ def _conv_pair_kernel(x_ref, wp_ref, aff_ref, y_ref, st_ref,
     st_ref: (2, CO2) f32 — per-cell partial (sum, sumsq) of the bf16 output.
     """
     C = C2 // 2
-    a = aff_ref[0, :].astype(jnp.bfloat16)
-    b = aff_ref[1, :].astype(jnp.bfloat16)
+    a = aff_ref[0, :].astype(dtype)
+    b = aff_ref[1, :].astype(dtype)
 
     # padded + transformed input: xpad[i, 1:H+1, 1:P+1, :] = act(x*a+b)
     xpad_ref[:, :, :, :] = jnp.zeros_like(xpad_ref)
     xv = x_ref[:, :, :, :]
     xv = xv * a + b
     if relu_in:
-        xv = jnp.where(xv > 0, xv, xv * jnp.bfloat16(0.1))
+        # >=: matches jax.nn.leaky_relu's derivative branch at 0
+        xv = jnp.where(xv >= 0, xv, xv * jnp.asarray(0.1, dtype))
     xpad_ref[:, 1:H + 1, 1:P + 1, :] = xv
 
     # patches: A[i, h, p, (kh*4+cc)*C : +C]
@@ -119,7 +120,7 @@ def _conv_pair_kernel(x_ref, wp_ref, aff_ref, y_ref, st_ref,
 
     A = patch_ref[:, :, :, :].reshape(n_img * H * P, 12 * C)
     acc = jnp.dot(A, wp_ref[:, :], preferred_element_type=jnp.float32)
-    yb = acc.astype(jnp.bfloat16)
+    yb = acc.astype(dtype)
     y_ref[:, :, :, :] = yb.reshape(n_img, H, P, CO2)
 
     # batch-stat partials over the ROUNDED output (matches the XLA path,
@@ -132,7 +133,8 @@ def _conv_pair_kernel(x_ref, wp_ref, aff_ref, y_ref, st_ref,
 def conv3x3_pair(x: jax.Array, wp: jax.Array,
                  affine: Optional[Tuple[jax.Array, jax.Array]] = None,
                  relu_in: bool = False, n_img: int = 1,
-                 interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+                 interpret: bool = False,
+                 dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
     """Fused 3x3 conv over paired-layout input.
 
     x: (B, H, P, 2Cin) bf16;  wp: (12Cin, 2Cout) bf16 (pack_weights_pair).
@@ -155,7 +157,7 @@ def conv3x3_pair(x: jax.Array, wp: jax.Array,
                          affine[1].astype(jnp.float32)])
 
     kernel = functools.partial(_conv_pair_kernel, H=H, P=P, C2=C2, CO2=CO2,
-                               relu_in=relu_in, n_img=n_img)
+                               relu_in=relu_in, n_img=n_img, dtype=dtype)
     y, st = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -174,16 +176,121 @@ def conv3x3_pair(x: jax.Array, wp: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, P, CO2), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, H, P, CO2), dtype),
             jax.ShapeDtypeStruct((G, 2, CO2), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_img, H + 2, P + 2, C2), jnp.bfloat16),
-            pltpu.VMEM((n_img, H, P, 12 * (C2 // 2)), jnp.bfloat16),
+            pltpu.VMEM((n_img, H + 2, P + 2, C2), dtype),
+            pltpu.VMEM((n_img, H, P, 12 * (C2 // 2)), dtype),
         ],
         interpret=interpret,
-    )(x.astype(jnp.bfloat16), wp.astype(jnp.bfloat16), aff)
+    )(x.astype(dtype), wp.astype(dtype), aff)
     return y, jnp.sum(st, axis=0)
+
+
+# --------------------------------------------------------------------------
+# block tail: bn3 + ds_bn + residual add + LeakyReLU + MaxPool2
+# --------------------------------------------------------------------------
+
+def _tail_kernel(y_ref, r_ref, aff_ref, out_ref, idx_ref, *, H, P, C2,
+                 n_img, paired_out, dtype):
+    """o = lrelu((y*a3+b3) + (r*ad+bd)); out = maxpool2(o).
+
+    In the paired layout pooling folds the lane halves (the two pixels of a
+    pair are one pooling window's columns) and adjacent H rows:
+      pooled[h', p, ci] = max over (row in {2h',2h'+1}, half in {0,1}).
+    idx records winner (2 bits: row*2+half) + sign of the winner (bit 2)
+    for the backward unpool/lrelu mask.
+    """
+    C = C2 // 2
+    a3 = aff_ref[0, :].astype(dtype)
+    b3 = aff_ref[1, :].astype(dtype)
+    ad = aff_ref[2, :].astype(dtype)
+    bd = aff_ref[3, :].astype(dtype)
+
+    o = (y_ref[:, :, :, :] * a3 + b3) + (r_ref[:, :, :, :] * ad + bd)
+    o = jnp.where(o >= 0, o, o * jnp.asarray(0.1, dtype))
+
+    # four pooling candidates, each (n, H/2, P, C)
+    c0 = o[:, 0::2, :, 0:C]
+    c1 = o[:, 0::2, :, C:C2]
+    c2 = o[:, 1::2, :, 0:C]
+    c3 = o[:, 1::2, :, C:C2]
+    m01 = jnp.maximum(c0, c1)
+    m23 = jnp.maximum(c2, c3)
+    mx = jnp.maximum(m01, m23)
+
+    # first-max tie-breaking (torch MaxPool2d routes gradient to the first
+    # maximal element in window order): strict comparisons throughout
+    idx = jnp.where(c1 > c0, 1, 0).astype(jnp.int32)
+    idx = jnp.where(m23 > m01, jnp.where(c3 > c2, 3, 2), idx)
+    idx = idx + jnp.where(mx >= 0, 4, 0)  # sign bit; >= matches lrelu'(0)=1
+
+    Hh = H // 2
+    if paired_out:
+        out_ref[:, :, :, :] = mx.reshape(n_img, Hh, P // 2, C2)
+        idx_ref[:, :, :, :] = idx.astype(jnp.int8).reshape(
+            n_img, Hh, P // 2, C2)
+    else:
+        out_ref[:, :, :, :] = mx
+        idx_ref[:, :, :, :] = idx.astype(jnp.int8)
+
+
+def block_tail(y3: jax.Array, res: jax.Array,
+               aff3: Tuple[jax.Array, jax.Array],
+               affd: Tuple[jax.Array, jax.Array],
+               n_img: int = 1, paired_out: bool = True,
+               interpret: bool = False,
+               dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
+    """Fused BasicBlock tail over paired-layout inputs.
+
+    y3, res: (B, H, P, 2C) bf16 (raw conv3 / raw downsample outputs).
+    aff3/affd: folded (a, b) per paired lane (2C,) for bn3 / ds_bn.
+    Returns (pooled, idx):
+      paired_out=True  -> both (B, H/2, P/2, 2C)  (paired layout of the
+                          (H/2, P, C) pooled map — a pure reshape)
+      paired_out=False -> both (B, H/2, P, C) flat (stage exit).
+    idx: int8, bits 0-1 winner position (row*2 + lane-half), bit 2 sign.
+    """
+    B, H, P, C2 = y3.shape
+    assert B % n_img == 0
+    G = B // n_img
+    aff = jnp.stack([aff3[0], aff3[1], affd[0], affd[1]]).astype(jnp.float32)
+
+    if paired_out:
+        assert P % 2 == 0
+        oshape = (B, H // 2, P // 2, C2)
+        oblock = (n_img, H // 2, P // 2, C2)
+    else:
+        oshape = (B, H // 2, P, C2 // 2)
+        oblock = (n_img, H // 2, P, C2 // 2)
+
+    kernel = functools.partial(_tail_kernel, H=H, P=P, C2=C2, n_img=n_img,
+                               paired_out=paired_out, dtype=dtype)
+    out, idx = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((n_img, H, P, C2), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_img, H, P, C2), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, C2), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(oblock, lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(oblock, lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(oshape, dtype),
+            jax.ShapeDtypeStruct(oshape, jnp.int8),
+        ],
+        interpret=interpret,
+    )(y3.astype(dtype), res.astype(dtype), aff)
+    return out, idx
 
 
 # --------------------------------------------------------------------------

@@ -58,16 +58,20 @@ def main():
                 jfn(*a).astype(jnp.float32))))
         else:
             f = jax.jit(jfn)
+        def scalar_pull(o):
+            # slice ON DEVICE before transferring: the host<->chip tunnel
+            # sustains ~19MB/s — pulling a full activation is 48s
+            lf = jax.tree.leaves(o)[0]
+            return float(lf.ravel()[0])
+
         out = f(*args)
-        leaf = jax.tree.leaves(out)[0]
-        _ = np.asarray(jax.device_get(leaf)).ravel()[0]
+        _ = scalar_pull(out)
 
         def chain(n):
             t0 = time.perf_counter()
             for _ in range(n):
                 o = f(*args)
-            lf = jax.tree.leaves(o)[0]
-            _ = np.asarray(jax.device_get(lf)).ravel()[0]
+            _ = scalar_pull(o)
             return time.perf_counter() - t0
 
         fl = flops if flops is not None else flops_of(f, *args)
@@ -88,8 +92,7 @@ def main():
             pad = [(1, 1), (1, 1)] if win == 3 else [(0, 0), (0, 0)]
             return jax.lax.conv_general_dilated(
                 xx, ww.astype(jnp.bfloat16), (1, 1), pad,
-                dimension_numbers=dn, preferred_element_type=jnp.float32
-            ).astype(jnp.bfloat16)
+                dimension_numbers=dn)
 
         def bn_train(y, g, b):
             yf = y.astype(jnp.float32)
@@ -149,8 +152,7 @@ def main():
         def conv2(xx, ww):
             return jax.lax.conv_general_dilated(
                 xx, ww.astype(jnp.bfloat16), (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=dn2, preferred_element_type=jnp.float32
-            ).astype(jnp.bfloat16)
+                dimension_numbers=dn2)
 
         def block(params, xx, with_bn=True):
             def mbn(t):
@@ -177,7 +179,7 @@ def main():
                 t0 = time.perf_counter()
                 for _ in range(n):
                     o = f(*args)
-                _ = np.asarray(jax.device_get(o["w1"])).ravel()[0]
+                _ = float(o["w1"].ravel()[0])
                 return time.perf_counter() - t0
             return chain
 
