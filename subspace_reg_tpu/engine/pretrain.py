@@ -67,7 +67,8 @@ def make_train_step(backbone, tx, spec: AugmentSpec,
                     temperature: float = 1.0,
                     mesh=None, teacher=None,
                     kd_temperature: float = 4.0,
-                    kd_alpha: float = 1.0, kd_beta: float = 1.0):
+                    kd_alpha: float = 1.0, kd_beta: float = 1.0,
+                    fused: bool = False):
     """One fused pretraining step: augment -> fwd(train) -> CE(+pull)
     -> bwd -> torch-SGD.  (Reference hot loop train_supervised.py:216-244.)
 
@@ -79,11 +80,20 @@ def make_train_step(backbone, tx, spec: AugmentSpec,
     """
 
     def loss_fn(params, batch_stats, counters, x, y, rng):
-        out, mut = backbone.apply(
-            {"params": params["backbone"], "batch_stats": batch_stats,
-             "counters": counters},
-            x, train=True, mutable=["batch_stats", "counters"],
-            rngs={"dropout": rng})
+        if fused:
+            # Pallas fused stages 1-2 (ops/fused_block.py); stages 3/4 and
+            # all non-train paths stay on the module path
+            from ..models.fused_forward import fused_forward
+            out, mut = fused_forward(
+                backbone,
+                {"params": params["backbone"], "batch_stats": batch_stats,
+                 "counters": counters}, x, rng=rng)
+        else:
+            out, mut = backbone.apply(
+                {"params": params["backbone"], "batch_stats": batch_stats,
+                 "counters": counters},
+                x, train=True, mutable=["batch_stats", "counters"],
+                rngs={"dropout": rng})
         w = params["head"]["w"]
         if mesh is not None:
             w = jax.lax.with_sharding_constraint(

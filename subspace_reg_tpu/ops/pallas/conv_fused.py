@@ -95,7 +95,7 @@ def _conv_pair_kernel(x_ref, wp_ref, aff_ref, y_ref, st_ref,
     b = aff_ref[1, :].astype(dtype)
 
     # padded + transformed input: xpad[i, 1:H+1, 1:P+1, :] = act(x*a+b)
-    xpad_ref[:, :, :, :] = jnp.zeros_like(xpad_ref)
+    xpad_ref[:, :, :, :] = jnp.zeros(xpad_ref.shape, dtype)
     xv = x_ref[:, :, :, :]
     xv = xv * a + b
     if relu_in:
@@ -118,16 +118,21 @@ def _conv_pair_kernel(x_ref, wp_ref, aff_ref, y_ref, st_ref,
         patch_ref[:, :, :, (r * 4 + 3) * C:(r * 4 + 4) * C] = \
             xpad_ref[:, r:r + H, 2:P + 2, 0:C]
 
-    A = patch_ref[:, :, :, :].reshape(n_img * H * P, 12 * C)
-    acc = jnp.dot(A, wp_ref[:, :], preferred_element_type=jnp.float32)
+    # 4D x 2D contraction over the K lanes: Mosaic lowers this as a matmul
+    # without the (n,H,P)->M reshape (P=42 sublanes don't merge cleanly
+    # across tile boundaries)
+    A = patch_ref[:, :, :, :]
+    acc = jax.lax.dot_general(
+        A, wp_ref[:, :], (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     yb = acc.astype(dtype)
-    y_ref[:, :, :, :] = yb.reshape(n_img, H, P, CO2)
+    y_ref[:, :, :, :] = yb
 
     # batch-stat partials over the ROUNDED output (matches the XLA path,
     # which computes stats from the stored bf16 activation)
     yf = yb.astype(jnp.float32)
-    st_ref[0, 0, :] = jnp.sum(yf, axis=0)
-    st_ref[0, 1, :] = jnp.sum(jnp.square(yf), axis=0)
+    st_ref[0, 0, :] = jnp.sum(yf, axis=(0, 1, 2))
+    st_ref[0, 1, :] = jnp.sum(jnp.square(yf), axis=(0, 1, 2))
 
 
 def conv3x3_pair(x: jax.Array, wp: jax.Array,

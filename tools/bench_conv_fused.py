@@ -12,6 +12,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 PEAK = float(os.environ.get("PEAK_BF16", 197e12))
 
 
