@@ -55,9 +55,16 @@ def main():
                                    n_cls, img, tx, with_bias=False)
     train_spec, _ = transforms_options["A"]
     # the production pipeline: dataset resident in HBM, per-step on-device
-    # batch gather + fused augmentation + bf16 fwd/bwd + torch-SGD
+    # batch gather + fused augmentation + bf16 fwd/bwd + torch-SGD.
+    # BENCH_FUSED=1 routes stages 1-2 through the Pallas fused blocks
+    # (models/fused_forward.py), =0 forces the module path; default: fused
+    # when the geometry supports it.
+    from subspace_reg_tpu.models.fused_forward import can_fuse
+    fused_env = os.environ.get("BENCH_FUSED", "auto")
+    fused = (can_fuse(backbone, img, train=True) if fused_env == "auto"
+             else fused_env == "1")
     step_dd = pt.make_train_step_device_data(backbone, tx, train_spec,
-                                             with_bias=False)
+                                             with_bias=False, fused=fused)
 
     r = np.random.RandomState(0)
     n_data = 10000

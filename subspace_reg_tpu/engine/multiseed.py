@@ -11,7 +11,10 @@ the reference's exact per-process np.random stream semantics (each seed's
 episode draw is immediately followed by its replay-memory index draw,
 mirroring the stand-alone engine's stream pairing).
 
-The fused Pallas loop does not vmap; this path uses the XLA while_loop.
+The fused Pallas loop vmaps over seeds (a leading grid dimension; same
+per-lane VMEM working set), so ``pallas_mode='auto'`` serves the fan-out
+with the same kernel as the stand-alone engine; bias heads are supported
+(bias+novel-anchor is refused exactly as the stand-alone engine refuses it).
 Prediction dumps (``save_preds_0``) write the reference-named per-seed
 CSVs, byte-identical to stand-alone runs; the per-epoch weight-tracking
 CSVs remain a stand-alone-engine feature (they require per-epoch host
@@ -57,8 +60,8 @@ def few_shot_finetune_multiseed(
         per_seed_heads, per_seed_meta: Sequence[Dict[str, Any]],
         opts: Sequence, per_seed_samplers: Sequence[EpisodeSampler],
         per_seed_base_test, per_seed_base_support=None,
-        verbose: bool = False, shard_over_devices: bool = False
-        ) -> MultiSeedResult:
+        verbose: bool = False, shard_over_devices: bool = False,
+        pallas_mode: str = "auto") -> MultiSeedResult:
     """Run the multi-session protocol for S seeds simultaneously.
 
     ``opts`` differ only in ``set_seed``; all static hyperparameters must
@@ -96,12 +99,22 @@ def few_shot_finetune_multiseed(
                          feat_dim=int(head0.in_dim),
                          has_base_support=per_seed_base_support is not None)
     with_bias = head0.bias is not None
-    assert not with_bias, "multiseed path targets the no-bias golden config"
+    if with_bias and opt0.lmbd_reg_novel is not None:
+        # same refusal as the stand-alone engine: the reference
+        # reglossnovel bias branch crashes (models/resnet_language.py:239)
+        raise NotImplementedError(
+            "reglossnovel with a bias head reproduces a reference crash "
+            "(models/resnet_language.py:239); drop --lmbd_reg_novel or "
+            "use --no_linear_bias")
 
     # chunked eval forwards: without them, vmapping S seeds over the
     # 1000-row query/base eval batches materializes an (S*1000, 84, 84, 64)
-    # stage-1 activation that exceeds single-chip HBM for S >= ~5
-    fns = make_session_fn(backbone, opt0, geo, with_bias, pallas_mode="off",
+    # stage-1 activation that exceeds single-chip HBM for S >= ~5.
+    # ``pallas_mode='auto'`` routes each vmapped lane through the fused
+    # fine-tune kernel (vmap adds a leading seed grid dimension; the
+    # per-lane VMEM working set is unchanged).
+    fns = make_session_fn(backbone, opt0, geo, with_bias,
+                          pallas_mode=pallas_mode,
                           eval_chunk=geo.n_query_per_session)
     vsession = jax.jit(jax.vmap(
         fns["session"],
@@ -124,7 +137,12 @@ def few_shot_finetune_multiseed(
                        for h in per_seed_heads])
     n_active = int(head0.n_active)
     w0 = head_w.copy()
-    b0 = np.zeros((S, geo.max_classes), np.float32)
+    if with_bias:
+        head_b = np.stack([np.asarray(h.bias, np.float32)
+                           for h in per_seed_heads])
+    else:
+        head_b = np.zeros((S, geo.max_classes), np.float32)
+    b0 = head_b.copy()
 
     base_x, base_y, base_sup_x, base_sup_y = [], [], [], []
     for s_i, (opt, bt) in enumerate(zip(opts, per_seed_base_test)):
@@ -270,16 +288,19 @@ def few_shot_finetune_multiseed(
         grow_keys = jnp.stack([jax.random.PRNGKey(o.set_seed * 61 + 1000 + idx)
                                for o in opts])
         heads = head_lib.Head(
-            weight=jnp.asarray(head_w), bias=None,
+            weight=jnp.asarray(head_w),
+            bias=jnp.asarray(head_b) if with_bias else None,
             n_active=jnp.full((S,), n_active, jnp.int32))
         grown = jax.vmap(lambda h, k: head_lib.augment(h, k, geo.n_ways))(
             heads, grow_keys)
         head_w = np.asarray(grown.weight)
+        if with_bias:
+            head_b = np.asarray(grown.bias)
         n_active += geo.n_ways
 
         out = vsession(
             variables, maybe_shard(jnp.asarray(head_w)),
-            jnp.asarray(b0), jnp.asarray(n_active, jnp.int32),
+            jnp.asarray(head_b), jnp.asarray(n_active, jnp.int32),
             jnp.asarray(w0), jnp.asarray(b0),
             jnp.asarray(reserved), jnp.asarray(n_reserved, jnp.int32),
             jnp.asarray(np.stack(sup_stack)),
@@ -293,8 +314,10 @@ def few_shot_finetune_multiseed(
             jnp.asarray(idx, jnp.int32),
             jnp.stack([jax.random.PRNGKey(o.set_seed * 31 + idx)
                        for o in opts]))
-        new_w, _, new_stats, new_counters, metrics = out
+        new_w, new_b, new_stats, new_counters, metrics = out
         head_w = np.asarray(new_w)
+        if with_bias:
+            head_b = np.asarray(new_b)
         variables = {"params": variables["params"],
                      "batch_stats": new_stats, "counters": new_counters}
 

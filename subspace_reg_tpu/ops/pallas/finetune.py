@@ -126,8 +126,12 @@ def _make_kernel(cfg):
             e = jnp.exp(logits - m)
             s = jnp.sum(e, axis=-1, keepdims=True)
             p = e / s
-            logp = logits - m - jnp.log(s)
-            loss = -jnp.sum(oh_sup * logp) * (1.0 / n_sup)
+            # loss without materializing logp: each valid row has exactly
+            # one target, so sum(oh*logp) = sum(oh*logits) - sum_valid(m +
+            # log s) — saves an (N, C) f32 transient in VMEM
+            valid_row = jnp.sum(oh_sup, axis=-1, keepdims=True)
+            loss = -(jnp.sum(oh_sup * logits)
+                     - jnp.sum(valid_row * (m + jnp.log(s)))) * (1.0 / n_sup)
             dlog = (p * rm_sup - oh_sup) * (1.0 / n_sup)
             g = jnp.dot(dlog.T, f_sup, preferred_element_type=jnp.float32)
 
@@ -152,8 +156,10 @@ def _make_kernel(cfg):
                 e2 = jnp.exp(lg2 - m2)
                 s2 = jnp.sum(e2, axis=-1, keepdims=True)
                 p2 = e2 / s2
-                logp2 = lg2 - m2 - jnp.log(s2)
-                loss = loss - jnp.sum(oh_mem * logp2) * inv_cnt
+                valid2 = jnp.sum(oh_mem, axis=-1, keepdims=True)
+                loss = loss - (jnp.sum(oh_mem * lg2)
+                               - jnp.sum(valid2 * (m2 + jnp.log(s2)))
+                               ) * inv_cnt
                 dlog2 = (p2 * rm_mem - oh_mem) * inv_cnt
                 g = g + jnp.dot(dlog2.T, f_mem,
                                 preferred_element_type=jnp.float32)
@@ -264,7 +270,9 @@ def _make_kernel(cfg):
 
         trace_out_ref[:] = jnp.zeros((trace_rows, 128), jnp.float32)
         mom0 = mom_ref[:]
-        nu0 = nu_ref[:] if use_adam else mom0   # unused in SGD mode
+        # SGD mode: carry a tiny dummy instead of a second (Cp, D) live
+        # value — VMEM live-range savings of one full weight matrix
+        nu0 = nu_ref[:] if use_adam else jnp.zeros((8, 128), jnp.float32)
         # bias-correction powers after the engine's epoch-1 step: b^1
         carry = (w_ref[:], mom0, nu0, b1, b2, prev_loss0, stable_init,
                  jnp.asarray(1.0), stop_init, acc1_0, acc5_0)
@@ -327,6 +335,9 @@ def finetune_loop_pallas(
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
+        # w (operand 4) is dead after the initial load and w_out is written
+        # once at the end: aliasing lets the compiler reuse the buffer
+        input_output_aliases={4: 0},
         interpret=interpret,
     )(f_sup, y_sup, f_mem, y_mem,
       w, mom, nu, w0, reserved, pull_op, pull_tgt, scalars)

@@ -184,3 +184,88 @@ def test_multiseed_save_preds_matches_single_seed(env, tmp_path,
     assert (os.path.basename(multi_csv[0])
             == os.path.basename(single_csv[0]))
     assert open(multi_csv[0]).read() == open(single_csv[0]).read()
+
+
+def test_multiseed_bias_head_matches_single_seed(env):
+    """Round-3 lift: bias heads run through the vmapped engine (the old
+    blanket no-bias assert is gone; only bias+novel-anchor is refused,
+    mirroring the stand-alone engine's reference-crash refusal)."""
+    seeds = [3, 6]
+
+    def bias_inputs(seed, var_seed):
+        inp = _seed_inputs(env, seed, var_seed)
+        inp["head"] = head_lib.init_head(
+            jax.random.PRNGKey(var_seed + 50), 60, in_dim=32,
+            with_bias=True, max_classes=100)
+        inp["opt"].lmbd_reg_novel = None      # bias+novel anchor refused
+        return inp
+
+    inputs = [bias_inputs(s, 100 + i) for i, s in enumerate(seeds)]
+    singles = []
+    for i, s in enumerate(seeds):
+        fresh = bias_inputs(s, 100 + i)
+        singles.append(few_shot_finetune_incremental_test(
+            env["backbone"], fresh["variables"], fresh["head"], {},
+            fresh["opt"], meta_sampler=fresh["meta_sampler"],
+            base_test_split=fresh["base_test"],
+            base_support_sampler=fresh["base_support"], verbose=False,
+            pallas_mode="off"))
+
+    ms = few_shot_finetune_multiseed(
+        env["backbone"],
+        [inp["variables"] for inp in inputs],
+        [inp["head"] for inp in inputs],
+        [{} for _ in inputs],
+        [inp["opt"] for inp in inputs],
+        [inp["meta_sampler"] for inp in inputs],
+        [inp["base_test"] for inp in inputs],
+        [inp["base_support"] for inp in inputs])
+
+    for got, want in zip(ms.per_seed, singles):
+        assert got.epochs_per_session == want.epochs_per_session
+        np.testing.assert_allclose(got.acc_novel_list, want.acc_novel_list,
+                                   atol=0.02)
+        np.testing.assert_allclose(got.acc_base_list, want.acc_base_list,
+                                   atol=0.02)
+
+
+def test_multiseed_refuses_bias_plus_novel_anchor(env):
+    inp = _seed_inputs(env, 3, 100)
+    inp["head"] = head_lib.init_head(jax.random.PRNGKey(150), 60,
+                                     in_dim=32, with_bias=True,
+                                     max_classes=100)
+    assert inp["opt"].lmbd_reg_novel is not None
+    with pytest.raises(NotImplementedError, match="reglossnovel"):
+        few_shot_finetune_multiseed(
+            env["backbone"], [inp["variables"]], [inp["head"]], [{}],
+            [inp["opt"]], [inp["meta_sampler"]], [inp["base_test"]],
+            [inp["base_support"]])
+
+
+def test_multiseed_pallas_interpret_matches_off(env):
+    """Round-3 lift: the fused fine-tune kernel vmaps over seeds (leading
+    grid dimension).  Interpret-mode kernel lanes must match the XLA path
+    per seed."""
+    seeds = [3, 6]
+
+    def run(mode):
+        inputs = [_seed_inputs(env, s, 100 + i) for i, s in enumerate(seeds)]
+        return few_shot_finetune_multiseed(
+            env["backbone"],
+            [inp["variables"] for inp in inputs],
+            [inp["head"] for inp in inputs],
+            [{} for _ in inputs],
+            [inp["opt"] for inp in inputs],
+            [inp["meta_sampler"] for inp in inputs],
+            [inp["base_test"] for inp in inputs],
+            [inp["base_support"] for inp in inputs],
+            pallas_mode=mode)
+
+    ms_off = run("off")
+    ms_pal = run("interpret")
+    for got, want in zip(ms_pal.per_seed, ms_off.per_seed):
+        assert got.epochs_per_session == want.epochs_per_session
+        np.testing.assert_allclose(got.acc_novel_list, want.acc_novel_list,
+                                   atol=0.05)
+        np.testing.assert_allclose(got.acc_base_list, want.acc_base_list,
+                                   atol=0.05)

@@ -116,6 +116,10 @@ def main(pallas_mode="auto"):
         "first_session_sec": round(res.session_seconds[0], 2),
         "steady_session_sec": round(steady, 3),
         "epochs": res.epochs_per_session,
+        # real per-session completion times (round 3: the async path
+        # timestamps each session's metric availability instead of
+        # amortizing the loop wall time)
+        "session_seconds": [round(s, 3) for s in res.session_seconds],
         "pallas_mode": pallas_mode,
     }
     print(json.dumps(out))

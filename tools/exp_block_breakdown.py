@@ -54,8 +54,20 @@ def main():
 
     def timed(name, jfn, *args, grad=False, flops=None):
         if grad:
-            f = jax.jit(jax.grad(lambda *a: jnp.sum(
-                jfn(*a).astype(jnp.float32))))
+            # value_and_grad against a RANDOM bf16 cotangent wrt every
+            # array argument: keeps forward+backward alive (a sum loss
+            # lets XLA constant-fold conv dgrads and DCE forwards).  The
+            # cotangent is built OUTSIDE the trace (eval_shape).
+            oshape = jax.eval_shape(jfn, *args)
+            cot = jax.random.normal(jax.random.PRNGKey(99), oshape.shape,
+                                    jnp.float32).astype(oshape.dtype)
+
+            def loss(*a):
+                o = jfn(*a)
+                return jnp.sum((o * cot).astype(jnp.float32))
+
+            argn = tuple(range(len(args)))
+            f = jax.jit(jax.value_and_grad(loss, argnums=argn))
         else:
             f = jax.jit(jfn)
         def scalar_pull(o):
@@ -130,10 +142,8 @@ def main():
 
         # --- maxpool2 fwd+bwd
         def pool(yy):
-            return jax.lax.reduce_window(
-                yy, -jnp.inf if yy.dtype == jnp.float32 else
-                jnp.array(-65504, yy.dtype),
-                jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            import flax.linen as fnn
+            return fnn.max_pool(yy, (2, 2), strides=(2, 2), padding="VALID")
 
         timed("maxpool2 alone fwd+bwd", pool, y0, grad=True)
 
@@ -166,8 +176,13 @@ def main():
             o = jax.nn.leaky_relu(o + res, 0.1)
             return pool(o)
 
+        _oshape = jax.eval_shape(lambda p, xx: block(p, xx, True), wd, x)
+        _cotb = jax.random.normal(jax.random.PRNGKey(98), _oshape.shape,
+                                  jnp.float32).astype(_oshape.dtype)
+
         def block_loss(params, xx, with_bn):
-            return jnp.sum(block(params, xx, with_bn).astype(jnp.float32))
+            o = block(params, xx, with_bn)
+            return jnp.sum((o * _cotb).astype(jnp.float32))
 
         gfn = jax.jit(jax.grad(partial(block_loss, with_bn=True)))
         gfn_nobn = jax.jit(jax.grad(partial(block_loss, with_bn=False)))

@@ -72,7 +72,8 @@ def _run_vmapped(args, rest):
         base_supports = None
     ms = few_shot_finetune_multiseed(
         backbone, variables_l, heads, metas, opts, samplers, base_tests,
-        per_seed_base_support=base_supports, verbose=True)
+        per_seed_base_support=base_supports, verbose=True,
+        pallas_mode=args.pallas)
     return ms.per_seed
 
 
@@ -92,6 +93,10 @@ def main(argv=None):
                    help="optional per-seed checkpoint pattern with {seed}")
     p.add_argument("--vmap", action="store_true",
                    help="batch all seeds through one vmapped engine run")
+    p.add_argument("--pallas", type=str, default="auto",
+                   choices=("auto", "on", "off", "interpret"),
+                   help="fused fine-tune kernel mode for the vmapped "
+                        "engine (auto: kernel on TPU, XLA elsewhere)")
     p.add_argument("--seed_batch", type=int, default=None,
                    help="process seeds in vmapped groups of this size "
                         "(bounds HBM: the epoch-1 train-mode forwards keep "

@@ -126,9 +126,12 @@ def main(argv=None):
         state = state.replace(
             params=params, batch_stats=variables_r["batch_stats"],
             counters=variables_r.get("counters", state.counters))
-        if "extra" in meta_r:
+        if "extra" in meta_r and opt.distill not in ("nce", "crd"):
             state = state.replace(opt_state=meta_r["extra"]["opt_state"],
                                   step=meta_r["extra"]["step"])
+        # contrastive mode: optimizer state, embed heads and memory banks
+        # are restored AFTER init_nce_training (their templates include the
+        # embed params and banks) — see the second restore below
         start_epoch = int(meta_r.get("epoch", 0)) + 1
         print(f"==> resumed from {opt.reload_path} at epoch {start_epoch}")
 
@@ -181,13 +184,49 @@ def main(argv=None):
         neg_table = tuple(jax.device_put(a) for a in
                           pt.build_negative_table(train_labels, n_cls))
 
+        # second-phase resume (round 3): optimizer state, embed-head
+        # params and the NCE memory banks restore bit-exactly — the
+        # reference's Slurm-restart granularity loses all three
+        if opt.reload_path:
+            from subspace_reg_tpu.utils.checkpoint import load_checkpoint
+            _, _, meta_r2 = load_checkpoint(
+                opt.reload_path,
+                extra_template={"opt_state": state.opt_state,
+                                "step": state.step,
+                                "embed_s": state.params["embed_s"],
+                                "embed_t": state.params["embed_t"],
+                                "nce": nce_state})
+            extra2 = meta_r2.get("extra", {})
+            if "nce" in extra2 and "embed_s" in extra2:
+                params2 = dict(state.params)
+                params2["embed_s"] = extra2["embed_s"]
+                params2["embed_t"] = extra2["embed_t"]
+                state = state.replace(params=params2,
+                                      opt_state=extra2["opt_state"],
+                                      step=extra2["step"])
+                nce_state = extra2["nce"]
+                print("==> resumed contrastive state "
+                      "(optimizer + embed heads + NCE banks)")
+            else:
+                print("==> WARNING: checkpoint has no contrastive state; "
+                      "optimizer/banks start fresh")
+
     # ---- mesh (data parallel over all local devices) --------------------
-    # contrastive distillation is single-chip in this round (per-sample
-    # memory banks + mesh DP not composed yet)
-    use_mesh = jax.device_count() > 1 and opt.distill not in ("nce", "crd")
+    # round 3: contrastive distillation composes with mesh DP — the
+    # two-view batch is sharded over the data axis, XLA psums the
+    # gradients, and the replicated memory banks stay coherent because the
+    # scatter update is expressed on the GLOBAL batch (GSPMD inserts the
+    # gather; single-writer per index since dataset items are unique
+    # within a batch)
+    use_mesh = jax.device_count() > 1
     mesh = mesh_lib.create_mesh() if use_mesh else None
     if mesh is not None:
         state = mesh_lib.replicate_tree(mesh, state)
+        if nce_state is not None:
+            nce_state = mesh_lib.replicate_tree(mesh, nce_state)
+            neg_table = tuple(
+                jax.device_put(a, mesh_lib.replicated(mesh))
+                for a in neg_table)
 
     if nce_state is not None:
         train_step = pt.make_train_step_nce(
@@ -291,10 +330,16 @@ def main(argv=None):
                     n_active=jnp.asarray(n_cls, jnp.int32))
         name = (f"{opt.model}_last.ckpt" if final
                 else f"ckpt_epoch_{epoch}.ckpt")
+        extra = {"opt_state": state.opt_state, "step": state.step}
+        if nce_state is not None:
+            # contrastive training state: embed heads + memory banks, so
+            # --reload_path resumes bit-exactly (reference counterpart:
+            # distill/NCEAverage.py banks, lost on any Slurm restart)
+            extra["embed_s"] = state.params["embed_s"]
+            extra["embed_t"] = state.params["embed_t"]
+            extra["nce"] = nce_state
         save_checkpoint(os.path.join(opt.save_folder, name),
-                        variables, head, meta,
-                        extra={"opt_state": state.opt_state,
-                               "step": state.step})
+                        variables, head, meta, extra=extra)
         print("==> Saved", name)
 
     # ---- training loop (train_supervised.py:156-202) --------------------
@@ -311,16 +356,20 @@ def main(argv=None):
             for bi, item in enumerate(batches):
                 if nce_state is not None:
                     idxs, _ = item
+                    if mesh is not None:
+                        idxs = mesh_lib.shard_batch(mesh, idxs)
                     if use_device_data:
                         state, nce_state, m = train_step.device_data(
                             state, nce_state, data_dev, labels_dev,
                             neg_table, idxs, key)
                     else:
                         hi = np.asarray(idxs)
+                        xb = jnp.asarray(train_split.imgs[hi])
+                        yb = jnp.asarray(train_labels[hi], jnp.int32)
+                        if mesh is not None:
+                            xb, yb = mesh_lib.shard_batch(mesh, xb, yb)
                         state, nce_state, m = train_step(
-                            state, nce_state,
-                            jnp.asarray(train_split.imgs[hi]),
-                            jnp.asarray(train_labels[hi], jnp.int32),
+                            state, nce_state, xb, yb,
                             idxs, neg_table, key)
                     bsz = int(idxs.shape[0])
                 elif use_device_data:
