@@ -63,8 +63,10 @@ def main():
     fused_env = os.environ.get("BENCH_FUSED", "auto")
     fused = (can_fuse(backbone, img, train=True) if fused_env == "auto"
              else fused_env == "1")
+    fused_backend = os.environ.get("BENCH_FUSED_BACKEND", "pallas")
     step_dd = pt.make_train_step_device_data(backbone, tx, train_spec,
-                                             with_bias=False, fused=fused)
+                                             with_bias=False, fused=fused,
+                                             fused_backend=fused_backend)
 
     r = np.random.RandomState(0)
     n_data = 10000

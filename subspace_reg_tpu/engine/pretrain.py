@@ -68,7 +68,7 @@ def make_train_step(backbone, tx, spec: AugmentSpec,
                     mesh=None, teacher=None,
                     kd_temperature: float = 4.0,
                     kd_alpha: float = 1.0, kd_beta: float = 1.0,
-                    fused: bool = False):
+                    fused: bool = False, fused_backend: str = "xla"):
     """One fused pretraining step: augment -> fwd(train) -> CE(+pull)
     -> bwd -> torch-SGD.  (Reference hot loop train_supervised.py:216-244.)
 
@@ -87,7 +87,8 @@ def make_train_step(backbone, tx, spec: AugmentSpec,
             out, mut = fused_forward(
                 backbone,
                 {"params": params["backbone"], "batch_stats": batch_stats,
-                 "counters": counters}, x, rng=rng)
+                 "counters": counters}, x, rng=rng,
+                backend=fused_backend)
         else:
             out, mut = backbone.apply(
                 {"params": params["backbone"], "batch_stats": batch_stats,

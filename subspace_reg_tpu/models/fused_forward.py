@@ -69,7 +69,8 @@ def _dropout(rng, x, rate: float):
 
 def fused_forward(backbone, variables: Dict[str, Any], x: jax.Array,
                   rng: Optional[jax.Array] = None,
-                  interpret: Optional[bool] = None
+                  interpret: Optional[bool] = None,
+                  backend: str = "xla"
                   ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Train-mode forward with fused stages 1-2.
 
@@ -94,7 +95,7 @@ def fused_forward(backbone, variables: Dict[str, Any], x: jax.Array,
     out1, st1 = fb.fused_block_apply(x.astype(jnp.bfloat16),
                                      params["layer1_0"],
                                      paired_out=True, need_dx=False,
-                                     interpret=interpret)
+                                     interpret=interpret, backend=backend)
     n1 = B * H * W
     if drop > 0:
         out1 = _dropout(r1, out1, drop)
@@ -102,7 +103,8 @@ def fused_forward(backbone, variables: Dict[str, Any], x: jax.Array,
     # ---- stage 2 (paired in, flat out for the XLA stages) ---------------
     out2, st2 = fb.fused_block_apply(out1, params["layer2_0"],
                                      paired_in=True, paired_out=False,
-                                     need_dx=True, interpret=interpret)
+                                     need_dx=True, interpret=interpret,
+                                     backend=backend)
     n2 = n1 // 4
     if drop > 0:
         out2 = _dropout(r2, out2, drop)

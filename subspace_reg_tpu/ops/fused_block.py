@@ -114,12 +114,19 @@ def _affine_act(y, mean, var, scale, bias, eps=1e-5):
 # the block, as a custom-VJP function over a flat param tuple
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def fused_basic_block(x, params, paired_out, need_dx, interpret, dtype):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_basic_block(x, params, paired_out, need_dx, interpret, dtype,
+                      backend="pallas"):
     """Returns (pooled, BlockStats).  The stats output is a buffer (no
     gradient flows back through it — its cotangent is ignored by the VJP,
-    matching torch's running-stat semantics)."""
-    out, stats, _ = _block_fwd_impl(x, params, paired_out, interpret, dtype)
+    matching torch's running-stat semantics).  ``backend``: 'pallas' runs
+    the fused Mosaic kernels, 'xla' the identically-structured lax
+    program (same idx-record tail, same saved residuals)."""
+    if backend == "xla":
+        out, stats, _ = _block_fwd_impl_xla(x, params, paired_out, dtype)
+    else:
+        out, stats, _ = _block_fwd_impl(x, params, paired_out, interpret,
+                                        dtype)
     return out, stats
 
 
@@ -129,7 +136,9 @@ def _block_fwd_impl(x, params, paired_out, interpret, dtype):
     n = B * H * P * 2
     cout = w1.shape[-1]
 
-    n_img = 1 if H * P * cout >= 64 * 84 * 42 else 2
+    # one image per grid cell: n_img=2 overflows VMEM at the wide
+    # geometries (patch scratch doubles); per-cell matmul work is ample
+    n_img = 1
     wp1 = cf.pack_weights_pair(w1.astype(dtype))
     wp2 = cf.pack_weights_pair(w2.astype(dtype))
     wp3 = cf.pack_weights_pair(w3.astype(dtype))
@@ -169,13 +178,88 @@ def _block_fwd_impl(x, params, paired_out, interpret, dtype):
     return pooled, stats, resid
 
 
-def _block_fwd_rule(x, params, paired_out, need_dx, interpret, dtype):
-    out, stats, resid = _block_fwd_impl(x, params, paired_out, interpret,
-                                        dtype)
+def _block_fwd_impl_xla(x, params, paired_out, dtype):
+    """XLA backend: identical computation structure to the Pallas kernels
+    (BN affine folds, stats from the rounded conv outputs, one-pass tail
+    with the argmax/sign record) expressed as lax ops on the FLAT layout.
+    XLA's conv emitter runs these shapes at ~66-91% of peak bf16 (measured
+    v5e), so the kernel's job here is the *restructuring*: the tail and
+    the backward consume the idx record instead of select-and-scatter,
+    and the BN normalize/LeakyReLU chains fuse into conv prologues.
+    Residuals are saved in paired shape (a free reshape) so the shared
+    backward rule serves both backends."""
+    (w1, w2, w3, wd, g1, b1, g2, b2, g3, b3, gd, bd) = params
+    xf = cf.unpaired(x)
+    B, H, W, _ = xf.shape
+    n = B * H * W
+
+    def stats_of(y):
+        yf = y.astype(jnp.float32)
+        m = jnp.mean(yf, (0, 1, 2))
+        v = jnp.maximum(jnp.mean(jnp.square(yf), (0, 1, 2))
+                        - jnp.square(m), 0.0)
+        return m, v
+
+    def affine_act_flat(y, m, v, sc, bi):
+        a2, b2_ = cf.bn_affine(m, v, sc, bi)
+        C_ = y.shape[-1]
+        z = y * a2[:C_].astype(y.dtype) + b2_[:C_].astype(y.dtype)
+        return jnp.where(z >= 0, z, z * jnp.asarray(0.1, y.dtype))
+
+    y1 = _conv_flat(xf, w1, dtype)
+    m1, v1 = stats_of(y1)
+    x2 = affine_act_flat(y1, m1, v1, g1, b1)
+    y2 = _conv_flat(x2, w2, dtype)
+    m2, v2 = stats_of(y2)
+    x3 = affine_act_flat(y2, m2, v2, g2, b2)
+    y3 = _conv_flat(x3, w3, dtype)
+    m3, v3 = stats_of(y3)
+    dsr = jnp.einsum("bhwc,cd->bhwd", xf.astype(dtype),
+                     wd[0, 0].astype(dtype))
+    md, vd = stats_of(dsr)
+
+    a3_, b3_ = cf.bn_affine(m3, v3, g3, b3)
+    ad_, bd_ = cf.bn_affine(md, vd, gd, bd)
+    C = y3.shape[-1]
+    o = (y3 * a3_[:C].astype(dtype) + b3_[:C].astype(dtype)
+         + dsr * ad_[:C].astype(dtype) + bd_[:C].astype(dtype))
+    o = jnp.where(o >= 0, o, o * jnp.asarray(0.1, dtype))
+
+    # pooled + first-max idx + sign, matching the Pallas tail encoding:
+    # winner = row_parity*2 + col_parity, bit 2 = sign (lrelu'(0)=1)
+    c0 = o[:, 0::2, 0::2, :]
+    c1 = o[:, 0::2, 1::2, :]
+    c2 = o[:, 1::2, 0::2, :]
+    c3 = o[:, 1::2, 1::2, :]
+    m01 = jnp.maximum(c0, c1)
+    m23 = jnp.maximum(c2, c3)
+    mx = jnp.maximum(m01, m23)
+    idx = jnp.where(c1 > c0, 1, 0).astype(jnp.int32)
+    idx = jnp.where(m23 > m01, jnp.where(c3 > c2, 3, 2), idx)
+    idx = (idx + jnp.where(mx >= 0, 4, 0)).astype(jnp.int8)
+
+    pooled = cf.paired(mx) if paired_out else mx
+    idx_out = idx          # idx stays flat (matches the Pallas tail)
+
+    stats = BlockStats((m1, v1), (m2, v2), (m3, v3), (md, vd))
+    resid = (x, cf.paired(y1), cf.paired(y2), cf.paired(y3),
+             cf.paired(dsr), idx_out, stats, params)
+    return pooled, stats, resid
+
+
+def _block_fwd_rule(x, params, paired_out, need_dx, interpret, dtype,
+                    backend="pallas"):
+    if backend == "xla":
+        out, stats, resid = _block_fwd_impl_xla(x, params, paired_out,
+                                                dtype)
+    else:
+        out, stats, resid = _block_fwd_impl(x, params, paired_out,
+                                            interpret, dtype)
     return (out, stats), resid
 
 
-def _block_bwd_rule(paired_out, need_dx, interpret, dtype, resid, g):
+def _block_bwd_rule(paired_out, need_dx, interpret, dtype, backend,
+                    resid, g):
     g_out, _g_stats = g      # stats are buffers: cotangent ignored
     (x, y1, y2, y3, dsr, idx, stats, params) = resid
     (w1, w2, w3, wd, g1, b1, g2, b2, g3, b3, gd, bd) = params
@@ -184,11 +268,9 @@ def _block_bwd_rule(paired_out, need_dx, interpret, dtype, resid, g):
     C = C2 // 2
 
     # ---- tail backward: unpool + lrelu via the idx record ---------------
-    if paired_out:
-        g_flat = cf.unpaired(g_out)       # (B, H/2, P, C)
-        idx_flat = cf.unpaired(idx)
-    else:
-        g_flat, idx_flat = g_out, idx
+    # (idx is stored FLAT by both backends)
+    g_flat = cf.unpaired(g_out) if paired_out else g_out
+    idx_flat = idx
     low = (idx_flat & 3).astype(jnp.int32)
     slope = jnp.where((idx_flat & 4) != 0, jnp.asarray(1.0, dtype),
                       jnp.asarray(0.1, dtype))
@@ -274,7 +356,7 @@ def params_tuple_from_flax(p: Dict[str, Any]) -> Tuple[jax.Array, ...]:
 def fused_block_apply(x_flat: jax.Array, p: Dict[str, Any],
                       paired_in: bool = False, paired_out: bool = True,
                       need_dx: bool = True, interpret: bool = False,
-                      dtype=jnp.bfloat16):
+                      dtype=jnp.bfloat16, backend: str = "pallas"):
     """Apply the fused block to a FLAT (B,H,W,C) input (or paired when
     ``paired_in``).  Returns (out, BlockStats).  ``out`` is paired unless
     ``paired_out=False`` (stage exit -> flat for the XLA stages).
@@ -297,4 +379,4 @@ def fused_block_apply(x_flat: jax.Array, p: Dict[str, Any],
         wd = jnp.pad(wd, ((0, 0), (0, 0), (0, 1), (0, 0)))
         params = (w1, w2, w3, wd) + params[4:]
     return fused_basic_block(x, params, paired_out, need_dx, interpret,
-                             dtype)
+                             dtype, backend)

@@ -91,16 +91,20 @@ def _conv_pair_kernel(x_ref, wp_ref, aff_ref, y_ref, st_ref,
     st_ref: (2, CO2) f32 — per-cell partial (sum, sumsq) of the bf16 output.
     """
     C = C2 // 2
-    a = aff_ref[0, :].astype(dtype)
-    b = aff_ref[1, :].astype(dtype)
+    # keep the affine vectors 2D and reshape to the broadcast rank —
+    # Mosaic rejects 1D row extractions from the (2, C2) operand
+    a = aff_ref[0:1, :].astype(dtype).reshape(1, 1, 1, C2)
+    b = aff_ref[1:2, :].astype(dtype).reshape(1, 1, 1, C2)
 
     # padded + transformed input: xpad[i, 1:H+1, 1:P+1, :] = act(x*a+b)
     xpad_ref[:, :, :, :] = jnp.zeros(xpad_ref.shape, dtype)
     xv = x_ref[:, :, :, :]
     xv = xv * a + b
     if relu_in:
-        # >=: matches jax.nn.leaky_relu's derivative branch at 0
-        xv = jnp.where(xv >= 0, xv, xv * jnp.asarray(0.1, dtype))
+        # lrelu as max(x, 0.1x) — identical for slope<1 (equal at 0, so
+        # the >=0 derivative convention is moot here) and avoids a 4D
+        # select that Mosaic's remote compiler rejects
+        xv = jnp.maximum(xv, xv * jnp.asarray(0.1, dtype))
     xpad_ref[:, 1:H + 1, 1:P + 1, :] = xv
 
     # patches: A[i, h, p, (kh*4+cc)*C : +C]
@@ -198,7 +202,7 @@ def conv3x3_pair(x: jax.Array, wp: jax.Array,
 # --------------------------------------------------------------------------
 
 def _tail_kernel(y_ref, r_ref, aff_ref, out_ref, idx_ref, *, H, P, C2,
-                 n_img, paired_out, dtype):
+                 n_img, dtype):
     """o = lrelu((y*a3+b3) + (r*ad+bd)); out = maxpool2(o).
 
     In the paired layout pooling folds the lane halves (the two pixels of a
@@ -208,37 +212,42 @@ def _tail_kernel(y_ref, r_ref, aff_ref, out_ref, idx_ref, *, H, P, C2,
     for the backward unpool/lrelu mask.
     """
     C = C2 // 2
-    a3 = aff_ref[0, :].astype(dtype)
-    b3 = aff_ref[1, :].astype(dtype)
-    ad = aff_ref[2, :].astype(dtype)
-    bd = aff_ref[3, :].astype(dtype)
+    a3 = aff_ref[0:1, :].astype(dtype).reshape(1, 1, 1, C2)
+    b3 = aff_ref[1:2, :].astype(dtype).reshape(1, 1, 1, C2)
+    ad = aff_ref[2:3, :].astype(dtype).reshape(1, 1, 1, C2)
+    bd = aff_ref[3:4, :].astype(dtype).reshape(1, 1, 1, C2)
 
     o = (y_ref[:, :, :, :] * a3 + b3) + (r_ref[:, :, :, :] * ad + bd)
-    o = jnp.where(o >= 0, o, o * jnp.asarray(0.1, dtype))
+    o = jnp.maximum(o, o * jnp.asarray(0.1, dtype))
 
-    # four pooling candidates, each (n, H/2, P, C)
-    c0 = o[:, 0::2, :, 0:C]
-    c1 = o[:, 0::2, :, C:C2]
-    c2 = o[:, 1::2, :, 0:C]
-    c3 = o[:, 1::2, :, C:C2]
+    # four pooling candidates, each (n, H/2, P, C).  Row split via a free
+    # leading-dim reshape — a stride-2 H slice lowers to an unsupported
+    # gather on Mosaic
+    ov = o.reshape(n_img, H // 2, 2, P, C2)
+    c0 = ov[:, :, 0, :, 0:C]
+    c1 = ov[:, :, 0, :, C:C2]
+    c2 = ov[:, :, 1, :, 0:C]
+    c3 = ov[:, :, 1, :, C:C2]
     m01 = jnp.maximum(c0, c1)
     m23 = jnp.maximum(c2, c3)
     mx = jnp.maximum(m01, m23)
 
     # first-max tie-breaking (torch MaxPool2d routes gradient to the first
-    # maximal element in window order): strict comparisons throughout
-    idx = jnp.where(c1 > c0, 1, 0).astype(jnp.int32)
-    idx = jnp.where(m23 > m01, jnp.where(c3 > c2, 3, 2), idx)
-    idx = idx + jnp.where(mx >= 0, 4, 0)  # sign bit; >= matches lrelu'(0)=1
+    # maximal element in window order).  Mosaic's remote compiler rejects
+    # >2D selects AND >2D bool casts, so the winner index is pure
+    # arithmetic: strict a>b as max(sign(a-b), 0) with the difference
+    # taken in f32 (exact for bf16 operands, so ties are exact):
+    #   low = (1-tm)*t01 + tm*(2+t23),  idx = low + 4*signbit
+    f32 = jnp.float32
+    t01 = jnp.maximum(jnp.sign(c1.astype(f32) - c0.astype(f32)), 0.0)
+    t23 = jnp.maximum(jnp.sign(c3.astype(f32) - c2.astype(f32)), 0.0)
+    tm = jnp.maximum(jnp.sign(m23.astype(f32) - m01.astype(f32)), 0.0)
+    # >=0 bit (lrelu'(0)=1): min(sign(mx)+1, 1)
+    sgn = jnp.minimum(jnp.sign(mx.astype(f32)) + 1.0, 1.0)
+    idx = ((1.0 - tm) * t01 + tm * (2.0 + t23) + 4.0 * sgn)
 
-    Hh = H // 2
-    if paired_out:
-        out_ref[:, :, :, :] = mx.reshape(n_img, Hh, P // 2, C2)
-        idx_ref[:, :, :, :] = idx.astype(jnp.int8).reshape(
-            n_img, Hh, P // 2, C2)
-    else:
-        out_ref[:, :, :, :] = mx
-        idx_ref[:, :, :, :] = idx.astype(jnp.int8)
+    out_ref[:, :, :, :] = mx
+    idx_ref[:, :, :, :] = idx.astype(jnp.int8)
 
 
 def block_tail(y3: jax.Array, res: jax.Array,
@@ -249,29 +258,25 @@ def block_tail(y3: jax.Array, res: jax.Array,
                dtype=jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
     """Fused BasicBlock tail over paired-layout inputs.
 
-    y3, res: (B, H, P, 2C) bf16 (raw conv3 / raw downsample outputs).
+    y3, res: (B, H, P, 2C) (raw conv3 / raw downsample outputs).
     aff3/affd: folded (a, b) per paired lane (2C,) for bn3 / ds_bn.
-    Returns (pooled, idx):
-      paired_out=True  -> both (B, H/2, P/2, 2C)  (paired layout of the
-                          (H/2, P, C) pooled map — a pure reshape)
-      paired_out=False -> both (B, H/2, P, C) flat (stage exit).
-    idx: int8, bits 0-1 winner position (row*2 + lane-half), bit 2 sign.
+    The kernel always writes the FLAT pooled map (B, H/2, P, C) plus the
+    int8 winner/sign record (bits 0-1: row_parity*2 + col_parity, bit 2:
+    sign with lrelu'(0)=1 convention); ``paired_out=True`` re-pairs the
+    pooled map with an XLA reshape OUTSIDE the kernel (a lane-count-
+    changing reshape inside Mosaic forces an unsupported relayout).
+    idx is returned FLAT in both modes (the backward consumes it flat).
     """
     B, H, P, C2 = y3.shape
     assert B % n_img == 0
     G = B // n_img
     aff = jnp.stack([aff3[0], aff3[1], affd[0], affd[1]]).astype(jnp.float32)
 
-    if paired_out:
-        assert P % 2 == 0
-        oshape = (B, H // 2, P // 2, C2)
-        oblock = (n_img, H // 2, P // 2, C2)
-    else:
-        oshape = (B, H // 2, P, C2 // 2)
-        oblock = (n_img, H // 2, P, C2 // 2)
+    oshape = (B, H // 2, P, C2 // 2)
+    oblock = (n_img, H // 2, P, C2 // 2)
 
     kernel = functools.partial(_tail_kernel, H=H, P=P, C2=C2, n_img=n_img,
-                               paired_out=paired_out, dtype=dtype)
+                               dtype=dtype)
     out, idx = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -295,6 +300,8 @@ def block_tail(y3: jax.Array, res: jax.Array,
         ],
         interpret=interpret,
     )(y3.astype(dtype), res.astype(dtype), aff)
+    if paired_out:
+        out = paired(out)
     return out, idx
 
 

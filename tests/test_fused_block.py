@@ -42,13 +42,15 @@ def _flax_fwd(block, p, variables, x):
     return out, mut
 
 
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
 @pytest.mark.parametrize("B,H,CIN,COUT", [(4, 12, 8, 8), (2, 8, 8, 16)])
-def test_fused_block_forward_matches_flax(B, H, CIN, COUT):
+def test_fused_block_forward_matches_flax(B, H, CIN, COUT, backend):
     block, p, variables, x = _setup(B, H, CIN, COUT)
     out_ref, _ = _flax_fwd(block, p, variables, x)
 
     (out_pal, stats) = fb.fused_block_apply(x, p, paired_out=False,
-                                            interpret=True)
+                                            interpret=True,
+                                            backend=backend)
     np.testing.assert_allclose(np.asarray(out_pal, np.float32),
                                np.asarray(out_ref, np.float32),
                                rtol=0.05, atol=0.08)
@@ -73,8 +75,9 @@ def test_fused_block_paired_out_roundtrip():
                                   np.asarray(out_f))
 
 
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
 @pytest.mark.parametrize("need_dx", [True, False])
-def test_fused_block_gradients_match_flax_f32(need_dx):
+def test_fused_block_gradients_match_flax_f32(need_dx, backend):
     """Structural correctness of the hand-derived backward: in f32 the
     fused block's gradients match flax autodiff to ~1e-3 — any formula
     error would show at O(1)."""
@@ -94,7 +97,7 @@ def test_fused_block_gradients_match_flax_f32(need_dx):
     def loss_pal(params, xx):
         out, _ = fb.fused_block_apply(xx, params, paired_out=False,
                                       need_dx=need_dx, interpret=True,
-                                      dtype=jnp.float32)
+                                      dtype=jnp.float32, backend=backend)
         return jnp.sum(out * cot)
 
     g_pal_p, g_pal_x = jax.grad(loss_pal, argnums=(0, 1))(p, x)
