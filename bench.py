@@ -59,11 +59,16 @@ def main():
     # BENCH_FUSED=1 routes stages 1-2 through the Pallas fused blocks
     # (models/fused_forward.py), =0 forces the module path; default: fused
     # when the geometry supports it.
-    from subspace_reg_tpu.models.fused_forward import can_fuse
-    fused_env = os.environ.get("BENCH_FUSED", "auto")
-    fused = (can_fuse(backbone, img, train=True) if fused_env == "auto"
-             else fused_env == "1")
-    fused_backend = os.environ.get("BENCH_FUSED_BACKEND", "pallas")
+    # Round-3 measured (v5e, batch 1024, slope-timed): the flax module
+    # path + XLA autodiff is the FASTEST of the three implementations —
+    # module 238.0ms/step vs fused-xla 275.8 vs fused-pallas 435.5
+    # (fwd: 70.2 / 81.5 / 157.9).  The Pallas paired-matmul conv loses
+    # 2-3x to XLA's conv emitter on these shapes (the emitter runs bare
+    # bf16 convs at ~91% of peak), so the fused path is kept as a
+    # measured negative result + test infrastructure, not the default.
+    fused_env = os.environ.get("BENCH_FUSED", "0")
+    fused = fused_env == "1"
+    fused_backend = os.environ.get("BENCH_FUSED_BACKEND", "xla")
     step_dd = pt.make_train_step_device_data(backbone, tx, train_spec,
                                              with_bias=False, fused=fused,
                                              fused_backend=fused_backend)

@@ -54,6 +54,16 @@ def _conv_flat(x, w, dtype=jnp.bfloat16):
         [(1, 1), (1, 1)], dimension_numbers=dn)
 
 
+def _conv_1x1_flat(x, w11, dtype=jnp.bfloat16):
+    """1x1 conv via XLA's conv emitter — an einsum here lowers to a
+    skinny-K matmul that measures far slower than the conv path."""
+    dn = lax.conv_dimension_numbers(x.shape, w11.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        x.astype(dtype), w11.astype(dtype), (1, 1),
+        [(0, 0), (0, 0)], dimension_numbers=dn)
+
+
 def _bn_bwd(g_z, y, mean, var, scale, eps=1e-5):
     """Train-mode BN backward over paired tensors.
 
@@ -214,8 +224,7 @@ def _block_fwd_impl_xla(x, params, paired_out, dtype):
     x3 = affine_act_flat(y2, m2, v2, g2, b2)
     y3 = _conv_flat(x3, w3, dtype)
     m3, v3 = stats_of(y3)
-    dsr = jnp.einsum("bhwc,cd->bhwd", xf.astype(dtype),
-                     wd[0, 0].astype(dtype))
+    dsr = _conv_1x1_flat(xf, wd, dtype)
     md, vd = stats_of(dsr)
 
     a3_, b3_ = cf.bn_affine(m3, v3, g3, b3)
@@ -311,19 +320,19 @@ def _block_bwd_rule(paired_out, need_dx, interpret, dtype, backend,
     g_y1, gg1, gb1 = _bn_bwd(g_z1, y1, m1, v1, g1)
 
     xf = cf.unpaired(x)
+
+    def _ds_vjp(xx, ww, gg):
+        _, vjp = jax.vjp(lambda a, b: _conv_1x1_flat(a, b, dtype), xx, ww)
+        return vjp(gg)
+
     if need_dx:
         g_x_c, gW1 = _conv_vjp(xf, w1.astype(dtype),
                                cf.unpaired(g_y1), dtype)
-        # ds wgrad/dgrad (1x1): direct einsums
-        gWd = jnp.einsum("bhwc,bhwd->cd", xf.astype(jnp.float32),
-                         cf.unpaired(g_dsr).astype(jnp.float32))[None, None]
-        g_x_d = jnp.einsum("bhwd,cd->bhwc", cf.unpaired(g_dsr),
-                           wd[0, 0].astype(dtype))
+        g_x_d, gWd = _ds_vjp(xf, wd.astype(dtype), cf.unpaired(g_dsr))
         g_x = cf.paired(g_x_c + g_x_d)
     else:
         _, gW1 = _conv_vjp(xf, w1.astype(dtype), cf.unpaired(g_y1), dtype)
-        gWd = jnp.einsum("bhwc,bhwd->cd", xf.astype(jnp.float32),
-                         cf.unpaired(g_dsr).astype(jnp.float32))[None, None]
+        _, gWd = _ds_vjp(xf, wd.astype(dtype), cf.unpaired(g_dsr))
         g_x = jnp.zeros_like(x)
 
     g_params = (gW1.astype(w1.dtype), gW2.astype(w2.dtype),

@@ -107,28 +107,26 @@ def _conv_pair_kernel(x_ref, wp_ref, aff_ref, y_ref, st_ref,
         xv = jnp.maximum(xv, xv * jnp.asarray(0.1, dtype))
     xpad_ref[:, 1:H + 1, 1:P + 1, :] = xv
 
-    # patches: A[i, h, p, (kh*4+cc)*C : +C]
-    #   cc=0 -> odd[p-1] = xpad[kh+h, p,   C:2C]
-    #   cc=1 -> even[p]  = xpad[kh+h, p+1, 0:C]
-    #   cc=2 -> odd[p]   = xpad[kh+h, p+1, C:2C]
-    #   cc=3 -> even[p+1]= xpad[kh+h, p+2, 0:C]
+    # patches per kernel row r: A_r[i, h, p, cc*C : +C]
+    #   cc=0 -> odd[p-1] = xpad[r+h, p,   C:2C]
+    #   cc=1 -> even[p]  = xpad[r+h, p+1, 0:C]
+    #   cc=2 -> odd[p]   = xpad[r+h, p+1, C:2C]
+    #   cc=3 -> even[p+1]= xpad[r+h, p+2, 0:C]
+    # The contraction runs as THREE accumulating K=4C dots (one per kernel
+    # row): a single 12C patch buffer read back as a value doubles its
+    # stack footprint and overflows the 16MB scoped VMEM at batch scale.
+    acc = jnp.zeros((n_img, H, P, CO2), jnp.float32)
     for r in range(3):
-        patch_ref[:, :, :, (r * 4 + 0) * C:(r * 4 + 1) * C] = \
-            xpad_ref[:, r:r + H, 0:P, C:C2]
-        patch_ref[:, :, :, (r * 4 + 1) * C:(r * 4 + 2) * C] = \
-            xpad_ref[:, r:r + H, 1:P + 1, 0:C]
-        patch_ref[:, :, :, (r * 4 + 2) * C:(r * 4 + 3) * C] = \
-            xpad_ref[:, r:r + H, 1:P + 1, C:C2]
-        patch_ref[:, :, :, (r * 4 + 3) * C:(r * 4 + 4) * C] = \
-            xpad_ref[:, r:r + H, 2:P + 2, 0:C]
-
-    # 4D x 2D contraction over the K lanes: Mosaic lowers this as a matmul
-    # without the (n,H,P)->M reshape (P=42 sublanes don't merge cleanly
-    # across tile boundaries)
-    A = patch_ref[:, :, :, :]
-    acc = jax.lax.dot_general(
-        A, wp_ref[:, :], (((3,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        patch_ref[:, :, :, 0 * C:1 * C] = xpad_ref[:, r:r + H, 0:P, C:C2]
+        patch_ref[:, :, :, 1 * C:2 * C] = xpad_ref[:, r:r + H, 1:P + 1, 0:C]
+        patch_ref[:, :, :, 2 * C:3 * C] = xpad_ref[:, r:r + H, 1:P + 1, C:C2]
+        patch_ref[:, :, :, 3 * C:4 * C] = xpad_ref[:, r:r + H, 2:P + 2, 0:C]
+        # 4D x 2D contraction over the K lanes: Mosaic lowers this as a
+        # matmul without the (n,H,P)->M reshape (P=42 sublanes don't merge
+        # cleanly across tile boundaries)
+        acc = acc + jax.lax.dot_general(
+            patch_ref[:, :, :, :], wp_ref[4 * C * r:4 * C * (r + 1), :],
+            (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     yb = acc.astype(dtype)
     y_ref[:, :, :, :] = yb
 
@@ -190,7 +188,7 @@ def conv3x3_pair(x: jax.Array, wp: jax.Array,
         ],
         scratch_shapes=[
             pltpu.VMEM((n_img, H + 2, P + 2, C2), dtype),
-            pltpu.VMEM((n_img, H, P, 12 * (C2 // 2)), dtype),
+            pltpu.VMEM((n_img, H, P, 4 * (C2 // 2)), dtype),
         ],
         interpret=interpret,
     )(x.astype(dtype), wp.astype(dtype), aff)
