@@ -119,7 +119,18 @@ def session_count(opt) -> int:
     back to 8 and crashing the disjoint sampler.  Tiered/CIFAR continual
     (extensions the reference never wired) take the CLI-provided value."""
     if opt.continual and opt.dataset == "miniImageNet":
-        return min(MAX_SESSIONS, opt.neval_episodes)
+        n = min(MAX_SESSIONS, opt.neval_episodes)
+        if n < MAX_SESSIONS:
+            # ADVICE r2: a user-supplied --neval_episodes below 8 silently
+            # shortened the canonical 8-session miniImageNet trace; make
+            # the truncation loud so parity runs are never cut short
+            # unnoticed (the CLI class-budget clamp also lands here — the
+            # warning states the cause either way)
+            print(f"WARNING: miniImageNet continual trace truncated to "
+                  f"{n} sessions (neval_episodes={opt.neval_episodes}; "
+                  f"the reference runs {MAX_SESSIONS}, "
+                  "eval/language_eval.py:132-136)")
+        return n
     return opt.neval_episodes
 
 
@@ -165,7 +176,10 @@ def _run_pallas_loop(opt, geo, params, mom_e1, nu_e1, l1, a1_e1, a5_e1,
     with_bias = "b" in params
     feat = geo.feat_dim
     d_eff = feat + (1 if with_bias else 0)
-    c_pad = _round_up(geo.max_classes, 128)
+    # class ROWS need only sublane (8) alignment; the class axis reaches
+    # lanes only inside transient logits, which Mosaic pads internally —
+    # 128-padding here cost tiered (391->512) ~2.5MB of resident VMEM
+    c_pad = _round_up(geo.max_classes, 8)
     d_pad = _round_up(d_eff, 128)
     ns_pad = _round_up(geo.n_support, 8)
     nm_pad = _round_up(max(geo.max_memory, 8), 8)
@@ -513,7 +527,7 @@ def _pallas_vmem_bytes(geo: SessionGeometry, opt=None,
     everything resident (no grid) so large class counts — e.g. tiered's
     351+40 padded to 512 — can still exceed the ~16MB scoped VMEM."""
     from ..ops.pallas.finetune import _round_up
-    c = _round_up(geo.max_classes, 128)
+    c = _round_up(geo.max_classes, 8)
     d = _round_up(geo.feat_dim + (1 if with_bias else 0), 128)
     ns = _round_up(geo.n_support, 8)
     nm = _round_up(max(geo.max_memory, 8), 8)
@@ -577,6 +591,10 @@ def _resolve_pallas(pallas_mode: str, opt, with_bias: bool,
             if not on_tpu and pallas_mode != "on":
                 return False, False
             ok = _pallas_compile_probe(geo, opt, with_bias)
+            if ok:
+                print(f"[pallas] compile probe passed for "
+                      f"Cp={_round_up_c(geo)} geometry — fused fine-tune "
+                      "kernel serving this run")
             if not ok:
                 if pallas_mode == "on":
                     raise ValueError(
@@ -593,6 +611,11 @@ def _resolve_pallas(pallas_mode: str, opt, with_bias: bool,
 _PROBE_CACHE = {}
 
 
+def _round_up_c(geo):
+    from ..ops.pallas.finetune import _round_up
+    return _round_up(geo.max_classes, 128)
+
+
 def _pallas_compile_probe(geo: SessionGeometry, opt, with_bias: bool) -> bool:
     """Try compiling the fused kernel for this exact geometry (abstract
     lowering — no data, one Mosaic compile).  Returns False on VMEM/
@@ -601,7 +624,7 @@ def _pallas_compile_probe(geo: SessionGeometry, opt, with_bias: bool) -> bool:
 
     feat = geo.feat_dim
     d_eff = feat + (1 if with_bias else 0)
-    c_pad = _round_up(geo.max_classes, 128)
+    c_pad = _round_up(geo.max_classes, 8)
     d_pad = _round_up(d_eff, 128)
     ns_pad = _round_up(geo.n_support, 8)
     nm_pad = _round_up(max(geo.max_memory, 8), 8)

@@ -55,7 +55,8 @@ def _make_kernel(cfg):
     def kernel(f_sup_ref, y_sup_ref, f_mem_ref, y_mem_ref,
                w_ref, mom_ref, nu_ref, w0_ref, reserved_ref,
                pull_op_ref, pull_tgt_ref, scalars_ref,
-               w_out_ref, stats_out_ref, trace_out_ref):
+               w_out_ref, stats_out_ref, trace_out_ref,
+               w_s, mom_s, nu_s):
         f_sup = f_sup_ref[:]
 
         lr = scalars_ref[0]
@@ -120,7 +121,9 @@ def _make_kernel(cfg):
             # work that keeps them out of the resident VMEM working set)
             oh_sup, rm_sup = targets(y_sup_ref, n_sup_rows,
                                      jnp.asarray(n_sup, jnp.float32))
-            logits = jnp.dot(f_sup, w.T, preferred_element_type=jnp.float32)
+            logits = jax.lax.dot_general(
+                f_sup, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
             logits = jnp.where(rm_sup > 0, logits, NEG)
             m = jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits - m)
@@ -133,14 +136,24 @@ def _make_kernel(cfg):
             loss = -(jnp.sum(oh_sup * logits)
                      - jnp.sum(valid_row * (m + jnp.log(s)))) * (1.0 / n_sup)
             dlog = (p * rm_sup - oh_sup) * (1.0 / n_sup)
-            g = jnp.dot(dlog.T, f_sup, preferred_element_type=jnp.float32)
+            g = jax.lax.dot_general(
+                dlog, f_sup, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
             # support top-1/top-5 from THIS epoch's (pre-update) logits —
             # the quantity the reference prints per 10 epochs
             # (eval/language_eval.py:308-315): rank of the true class =
             # number of strictly-greater active-class logits
             logit_y = jnp.sum(oh_sup * logits, axis=-1, keepdims=True)
-            higher = jnp.where((logits > logit_y) & (rm_sup > 0), 1.0, 0.0)
+            # torch.topk breaks exact ties by LOWER index first
+            # (ADVICE r2): a tied class with a smaller index outranks the
+            # true class
+            colf = jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1).astype(jnp.float32)
+            ysup = y_sup_ref[:, 0:1]
+            beats = (logits > logit_y) | ((logits == logit_y)
+                                          & (colf < ysup))
+            higher = jnp.where(beats & (rm_sup > 0), 1.0, 0.0)
             rank = jnp.sum(higher, axis=-1, keepdims=True)
             validr = jnp.sum(oh_sup, axis=-1, keepdims=True)
             acc1 = jnp.sum(jnp.where(rank < 1, validr, 0.0)) * (100.0 / n_sup)
@@ -150,7 +163,9 @@ def _make_kernel(cfg):
                 f_mem = f_mem_ref[:]
                 oh_mem, rm_mem = targets(y_mem_ref, n_mem_rows, mem_count)
                 inv_cnt = 1.0 / jnp.maximum(mem_count, 1.0)
-                lg2 = jnp.dot(f_mem, w.T, preferred_element_type=jnp.float32)
+                lg2 = jax.lax.dot_general(
+                    f_mem, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
                 lg2 = jnp.where(rm_mem > 0, lg2, NEG)
                 m2 = jnp.max(lg2, axis=-1, keepdims=True)
                 e2 = jnp.exp(lg2 - m2)
@@ -161,8 +176,9 @@ def _make_kernel(cfg):
                                - jnp.sum(valid2 * (m2 + jnp.log(s2)))
                                ) * inv_cnt
                 dlog2 = (p2 * rm_mem - oh_mem) * inv_cnt
-                g = g + jnp.dot(dlog2.T, f_mem,
-                                preferred_element_type=jnp.float32)
+                g = g + jax.lax.dot_general(
+                    dlog2, f_mem, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
 
             if use_regbase:
                 diff = (w - w0_ref[:]) * base_m
@@ -238,15 +254,24 @@ def _make_kernel(cfg):
             return stable, stop
 
         def cond(carry):
-            return ~carry[8]           # stop flag
+            return ~carry[5]           # stop flag
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
+        # optimizer state lives in SCRATCH refs, mutated in place — a
+        # matrix-valued while_loop carry would double-buffer (Cp, D)
+        # tensors in the VMEM stack (measured: the tiered geometry only
+        # fits with a scalar-only carry)
         def body(carry):
-            w, mom, nu, p1, p2, prev_loss, stable, epoch, _, _, _ = carry
+            p1, p2, prev_loss, stable, epoch, _, _, _ = carry
             epoch = epoch + 1.0
-            loss, g, acc1, acc5 = loss_and_grad(w)
-            w, mom, nu, p1, p2 = opt_step(w, mom, nu, p1, p2, g)
+            loss, g, acc1, acc5 = loss_and_grad(w_s[:])
+            w, mom, nu, p1, p2 = opt_step(w_s[:], mom_s[:], nu_s[:],
+                                          p1, p2, g)
+            w_s[:] = w
+            mom_s[:] = mom
+            if use_adam:
+                nu_s[:] = nu
             stable, stop = stop_logic(loss, prev_loss, stable, epoch)
             # per-epoch (loss, acc1, acc5) trace row for observability —
             # read back by the host for the --verbose per-10-epoch prints
@@ -254,8 +279,7 @@ def _make_kernel(cfg):
                             jnp.where(lane == 1, acc1,
                                       jnp.where(lane == 2, acc5, 0.0)))
             trace_out_ref[pl.dslice(epoch.astype(jnp.int32), 1), :] = row
-            return (w, mom, nu, p1, p2, loss, stable, epoch, stop,
-                    acc1, acc5)
+            return (p1, p2, loss, stable, epoch, stop, acc1, acc5)
 
         # epoch 1 already ran outside (train-mode features, one SGD step);
         # ``stable0``/``prev_loss0`` carry its post-update convergence state,
@@ -269,17 +293,17 @@ def _make_kernel(cfg):
                                  & (1.0 >= min_epochs + 1.0))
 
         trace_out_ref[:] = jnp.zeros((trace_rows, 128), jnp.float32)
-        mom0 = mom_ref[:]
-        # SGD mode: carry a tiny dummy instead of a second (Cp, D) live
-        # value — VMEM live-range savings of one full weight matrix
-        nu0 = nu_ref[:] if use_adam else jnp.zeros((8, 128), jnp.float32)
+        w_s[:] = w_ref[:]
+        mom_s[:] = mom_ref[:]
+        if use_adam:
+            nu_s[:] = nu_ref[:]
         # bias-correction powers after the engine's epoch-1 step: b^1
-        carry = (w_ref[:], mom0, nu0, b1, b2, prev_loss0, stable_init,
+        carry = (b1, b2, prev_loss0, stable_init,
                  jnp.asarray(1.0), stop_init, acc1_0, acc5_0)
-        (w, mom, nu, p1, p2, loss, stable, epoch, _, acc1,
+        (p1, p2, loss, stable, epoch, _, acc1,
          acc5) = jax.lax.while_loop(cond, body, carry)
 
-        w_out_ref[:] = w
+        w_out_ref[:] = w_s[:]
         stats = jnp.where(lane == 0, loss,
                           jnp.where(lane == 1, epoch,
                                     jnp.where(lane == 2, stable,
@@ -338,6 +362,12 @@ def finetune_loop_pallas(
         # w (operand 4) is dead after the initial load and w_out is written
         # once at the end: aliasing lets the compiler reuse the buffer
         input_output_aliases={4: 0},
+        scratch_shapes=[
+            pltpu.VMEM((c_pad, d), jnp.float32),       # w state
+            pltpu.VMEM((c_pad, d), jnp.float32),       # momentum / m1
+            pltpu.VMEM((c_pad, d) if use_adam else (8, 128),
+                       jnp.float32),                    # adam nu
+        ],
         interpret=interpret,
     )(f_sup, y_sup, f_mem, y_mem,
       w, mom, nu, w0, reserved, pull_op, pull_tgt, scalars)
