@@ -613,7 +613,7 @@ _PROBE_CACHE = {}
 
 def _round_up_c(geo):
     from ..ops.pallas.finetune import _round_up
-    return _round_up(geo.max_classes, 128)
+    return _round_up(geo.max_classes, 8)
 
 
 def _pallas_compile_probe(geo: SessionGeometry, opt, with_bias: bool) -> bool:

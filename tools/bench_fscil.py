@@ -100,6 +100,20 @@ def main(pallas_mode="auto"):
     base_support = EpisodeSampler(base_train, opt, split="train",
                                   phase="train")
 
+    # two passes: the first pays every jit compile (~10 functions behind
+    # the axon relay); the SECOND pass is the steady-state number an
+    # operator sees (persistent compile cache + warm jit caches).  The
+    # per-session completion timestamps of the warm pass are the honest
+    # pacing record (round 3; round 2 amortized).
+    t0 = time.time()
+    res_cold = few_shot_finetune_incremental_test(
+        backbone, variables, head0, {}, opt,
+        meta_sampler=EpisodeSampler(novel, opt, split="val",
+                                    disjoint_classes=True),
+        base_test_split=base_test,
+        base_support_sampler=base_support, verbose=False,
+        pallas_mode=pallas_mode)
+    cold_total = time.time() - t0
     t0 = time.time()
     res = few_shot_finetune_incremental_test(
         backbone, variables, head0, {}, opt,
@@ -107,14 +121,17 @@ def main(pallas_mode="auto"):
         base_support_sampler=base_support, verbose=False,
         pallas_mode=pallas_mode)
     total = time.time() - t0
-    steady = sum(res.session_seconds[1:]) / max(len(res.session_seconds) - 1, 1)
+    n_sess = max(len(res.session_seconds), 1)
+    # warm-pass wall time over all sessions = the deployable rate; the
+    # device-side pacing appears in session_seconds
+    per_session = total / n_sess
     out = {
         "metric": "fscil_sessions_per_min",
-        "value": round(60.0 / steady, 2),
+        "value": round(60.0 / per_session, 2),
         "unit": "sessions/min",
-        "total_8_sessions_sec": round(total, 2),
+        "warm_total_sec": round(total, 2),
+        "cold_total_sec": round(cold_total, 2),
         "first_session_sec": round(res.session_seconds[0], 2),
-        "steady_session_sec": round(steady, 3),
         "epochs": res.epochs_per_session,
         # real per-session completion times (round 3: the async path
         # timestamps each session's metric availability instead of
