@@ -662,7 +662,7 @@ def _pallas_compile_probe(geo: SessionGeometry, opt, with_bias: bool) -> bool:
         big if use_regnovel else dummy,
         S((d_pad, d_pad), f32) if pull_mode == "subspace" else dummy,
         big if pull_mode == "semantic" else dummy,
-        S((32,), f32),
+        S((1, 128), f32),
     )
     try:
         finetune_loop_pallas.lower(

@@ -59,27 +59,27 @@ def _make_kernel(cfg):
                w_s, mom_s, nu_s):
         f_sup = f_sup_ref[:]
 
-        lr = scalars_ref[0]
-        wd = scalars_ref[1]
-        momentum = scalars_ref[2]
-        lmbd_base = scalars_ref[3]
-        lmbd_novel = scalars_ref[4]
-        gamma = scalars_ref[5]
-        eps = scalars_ref[6]
-        target_loss = scalars_ref[7]
-        min_epochs = scalars_ref[8]
-        max_epochs = scalars_ref[9]
-        stable_target = scalars_ref[10]
-        n_active = scalars_ref[11]
-        n_reserved = scalars_ref[12]
-        mem_count = scalars_ref[13]
-        prev_loss0 = scalars_ref[14]
-        stable0 = scalars_ref[15]
-        acc1_0 = scalars_ref[18]
-        acc5_0 = scalars_ref[19]
-        b1 = scalars_ref[20]
-        b2 = scalars_ref[21]
-        eps_a = scalars_ref[22]
+        lr = scalars_ref[0, 0]
+        wd = scalars_ref[0, 1]
+        momentum = scalars_ref[0, 2]
+        lmbd_base = scalars_ref[0, 3]
+        lmbd_novel = scalars_ref[0, 4]
+        gamma = scalars_ref[0, 5]
+        eps = scalars_ref[0, 6]
+        target_loss = scalars_ref[0, 7]
+        min_epochs = scalars_ref[0, 8]
+        max_epochs = scalars_ref[0, 9]
+        stable_target = scalars_ref[0, 10]
+        n_active = scalars_ref[0, 11]
+        n_reserved = scalars_ref[0, 12]
+        mem_count = scalars_ref[0, 13]
+        prev_loss0 = scalars_ref[0, 14]
+        stable0 = scalars_ref[0, 15]
+        acc1_0 = scalars_ref[0, 18]
+        acc5_0 = scalars_ref[0, 19]
+        b1 = scalars_ref[0, 20]
+        b2 = scalars_ref[0, 21]
+        eps_a = scalars_ref[0, 22]
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (c_pad, d), 0)
         rows_f = rows.astype(jnp.float32)
@@ -91,11 +91,11 @@ def _make_kernel(cfg):
             wcols = jax.lax.broadcasted_iota(jnp.int32, (c_pad, d), 1)
             colw = (wcols != bias_col).astype(jnp.float32)
             colb = (wcols == bias_col).astype(jnp.float32)
-        base_m = (rows_f < scalars_ref[16]).astype(jnp.float32)   # orig_base
-        novel_m = ((rows_f >= scalars_ref[16])
-                   & (rows_f < scalars_ref[16] + n_reserved)
+        base_m = (rows_f < scalars_ref[0, 16]).astype(jnp.float32)   # orig_base
+        novel_m = ((rows_f >= scalars_ref[0, 16])
+                   & (rows_f < scalars_ref[0, 16] + n_reserved)
                    ).astype(jnp.float32)
-        cur_m = ((rows_f >= n_active - scalars_ref[17])          # n_ways
+        cur_m = ((rows_f >= n_active - scalars_ref[0, 17])          # n_ways
                  & (rows_f < n_active)).astype(jnp.float32)
 
         # one-hot targets and row-x-active-class masks are rebuilt from
@@ -332,7 +332,7 @@ def finetune_loop_pallas(
     """Run the fused loop.  All arrays pre-padded by the caller:
     f_sup (Ns,D); y_sup (Ns,128) f32 labels tiled across lanes;
     f_mem (Nm,D); y_mem (Nm,128); w/mom/w0/reserved/pull_tgt (Cp,D);
-    pull_op (D,D); scalars (32,) f32 laid out as documented in the kernel.
+    pull_op (D,D); scalars (1,128) f32 laid out as documented in the kernel.
     One-hot targets and row-x-class masks are built in-kernel from iota +
     the label tiles (valid-row/active-class bounds come from n_sup,
     scalars[11] and scalars[13]).
@@ -387,11 +387,15 @@ def pack_scalars(lr, wd, momentum, lmbd_base, lmbd_novel, gamma, eps,
                  orig_base, n_ways, acc1_0=0.0, acc5_0=0.0,
                  adam_b1=0.9, adam_b2=0.999,
                  adam_eps=1e-8) -> jnp.ndarray:
-    s = jnp.zeros((32,), jnp.float32)
+    # (1, 128): vmap over seeds batches this operand with a squeezed
+    # leading dim, and the TPU lowering then requires the remaining block
+    # dims to EQUAL the array's trailing dims — a 2D (1,128) operand
+    # satisfies that for both the plain and the vmapped call
+    s = jnp.zeros((1, 128), jnp.float32)
     vals = [lr, wd, momentum, lmbd_base, lmbd_novel, gamma, eps,
             target_loss, min_epochs, max_epochs, stable_target,
             n_active, n_reserved, mem_count, prev_loss0, stable0,
             orig_base, n_ways, acc1_0, acc5_0, adam_b1, adam_b2, adam_eps]
     for i, v in enumerate(vals):
-        s = s.at[i].set(jnp.asarray(v, jnp.float32))
+        s = s.at[0, i].set(jnp.asarray(v, jnp.float32))
     return s
