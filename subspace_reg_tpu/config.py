@@ -165,6 +165,10 @@ class SupervisedConfig:
     trial: str = "1"
     continual: bool = False
     no_dropblock: bool = False
+    # replicate the reference's per-forward num_batches_tracked increment on
+    # eval forwards too (models/resnet_language.py:269) — only observable
+    # for drop_rate>0 pretraining (DropBlock gamma ramp); see docs/PARITY.md
+    faithful_nbt: bool = False
     set_seed: int = 5
     no_linear_bias: bool = False
     augment_pretrain_wtrainb: bool = False

@@ -329,17 +329,32 @@ def build_negative_table(labels: np.ndarray, n_cls: int):
 
 
 def make_eval_step(backbone, spec: AugmentSpec, with_bias: bool,
-                   truncate_classes: Optional[int] = None):
+                   truncate_classes: Optional[int] = None,
+                   faithful_nbt: bool = False):
     """Validation step (reference eval/util.py:185-232).  ``truncate_classes``
-    reproduces the tiered augment_pretrain_wtrainb slice (:206-208)."""
+    reproduces the tiered augment_pretrain_wtrainb slice (:206-208).
+
+    ``faithful_nbt`` replicates the reference's per-forward
+    ``num_batches_tracked`` increment on EVAL forwards too
+    (models/resnet_language.py:269 counts every pass through a block, not
+    just train-mode ones): the eval apply mutates the ``counters``
+    collection and the step returns the advanced counters for the caller
+    to thread back into state.  Only observable for ``drop_rate>0``
+    pretraining, where the DropBlock gamma ramp reads the counter
+    (docs/PARITY.md "Accepted deviations"); default off keeps eval
+    forwards pure."""
 
     @jax.jit
     def eval_step(state: PretrainState, x_u8, y):
         x = aug_ops.normalize_batch(x_u8, spec)
-        feats = backbone.apply(
-            {"params": state.params["backbone"],
-             "batch_stats": state.batch_stats, "counters": state.counters},
-            x, train=False)
+        variables = {"params": state.params["backbone"],
+                     "batch_stats": state.batch_stats,
+                     "counters": state.counters}
+        if faithful_nbt:
+            feats, mut = backbone.apply(variables, x, train=False,
+                                        mutable=["counters"])
+        else:
+            feats = backbone.apply(variables, x, train=False)
         logits = feats @ state.params["head"]["w"].T
         if with_bias:
             logits = logits + state.params["head"]["b"]
@@ -347,9 +362,13 @@ def make_eval_step(backbone, spec: AugmentSpec, with_bias: bool,
             logits = logits[:, :truncate_classes]
         loss = losses.cross_entropy(logits, y)
         acc1, acc5 = losses.accuracy_topk(logits, y)
-        return {"loss": loss, "acc1": acc1, "acc5": acc5,
-                "n": jnp.asarray(y.shape[0], jnp.float32)}
+        metrics = {"loss": loss, "acc1": acc1, "acc5": acc5,
+                   "n": jnp.asarray(y.shape[0], jnp.float32)}
+        if faithful_nbt:
+            return metrics, mut["counters"]
+        return metrics
 
+    eval_step.faithful_nbt = faithful_nbt
     return eval_step
 
 
@@ -364,17 +383,29 @@ def epoch_batches(rng: np.random.RandomState, n: int, batch_size: int,
 
 
 def run_validation(eval_step, state, imgs: np.ndarray, labels: np.ndarray,
-                   batch_size: int, mesh=None) -> Dict[str, float]:
+                   batch_size: int, mesh=None):
+    """Returns the aggregated metrics dict; with a ``faithful_nbt`` eval
+    step, returns ``(metrics, state)`` with the per-batch counter advances
+    threaded through (the reference's validate mutates the counters as a
+    module side effect, eval/util.py:185-232)."""
+    faithful = getattr(eval_step, "faithful_nbt", False)
     tot = {"loss": 0.0, "acc1": 0.0, "acc5": 0.0, "n": 0.0}
     for i in range(0, len(labels), batch_size):
         x = jnp.asarray(imgs[i:i + batch_size])
         y = jnp.asarray(labels[i:i + batch_size], jnp.int32)
-        m = eval_step(state, x, y)
+        if faithful:
+            m, counters = eval_step(state, x, y)
+            state = state.replace(counters=counters)
+        else:
+            m = eval_step(state, x, y)
         n = float(m["n"])
         tot["loss"] += float(m["loss"]) * n
         tot["acc1"] += float(m["acc1"]) * n
         tot["acc5"] += float(m["acc5"]) * n
         tot["n"] += n
     n = max(tot["n"], 1.0)
-    return {"loss": tot["loss"] / n, "acc1": tot["acc1"] / n,
-            "acc5": tot["acc5"] / n}
+    metrics = {"loss": tot["loss"] / n, "acc1": tot["acc1"] / n,
+               "acc5": tot["acc5"] / n}
+    if faithful:
+        return metrics, state
+    return metrics

@@ -107,3 +107,40 @@ def test_checkpoint_roundtrip(tmp_path):
     w2 = jax.tree_util.tree_leaves(v2["params"])
     for a, b in zip(w1, w2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_faithful_nbt_eval_counting():
+    """--faithful_nbt replicates the reference's per-forward
+    num_batches_tracked increment on eval forwards (models/
+    resnet_language.py:269 counts every pass, incl. validate's); default
+    mode keeps eval pure.  docs/PARITY.md 'Accepted deviations'."""
+    backbone, tx, state = _tiny_setup()
+    spec_t = transforms_options["A"][0]
+    spec_e = transforms_options["A"][1]
+    step = pt.make_train_step(backbone, tx, spec_t, with_bias=False)
+    r = np.random.RandomState(3)
+    x, y = _class_colored_batch(r, 128)
+    for _ in range(3):
+        state, _ = step(state, jnp.asarray(x), jnp.asarray(y),
+                        jax.random.PRNGKey(5))
+    for leaf in jax.tree_util.tree_leaves(state.counters):
+        assert int(leaf) == 3
+
+    # default: eval forwards leave the counters untouched
+    ev = pt.make_eval_step(backbone, spec_e, with_bias=False)
+    m_pure = pt.run_validation(ev, state, x, y, batch_size=32)
+    for leaf in jax.tree_util.tree_leaves(state.counters):
+        assert int(leaf) == 3
+
+    # faithful: 128/32 = 4 eval batches advance every block's counter by 4
+    ev_f = pt.make_eval_step(backbone, spec_e, with_bias=False,
+                             faithful_nbt=True)
+    m_faith, state2 = pt.run_validation(ev_f, state, x, y, batch_size=32)
+    for leaf in jax.tree_util.tree_leaves(state2.counters):
+        assert int(leaf) == 3 + 4
+    # the counter is observability state only on the eval path: metrics match
+    for k in ("loss", "acc1", "acc5"):
+        assert m_pure[k] == pytest.approx(m_faith[k], abs=1e-5)
+    # original state untouched (functional threading, no aliasing)
+    for leaf in jax.tree_util.tree_leaves(state.counters):
+        assert int(leaf) == 3

@@ -244,7 +244,8 @@ def main(argv=None):
     eval_step = pt.make_eval_step(
         backbone, test_spec, with_bias=opt.linear_bias,
         truncate_classes=(200 if (opt.dataset == "tieredImageNet"
-                                  and opt.augment_pretrain_wtrainb) else None))
+                                  and opt.augment_pretrain_wtrainb) else None),
+        faithful_nbt=opt.faithful_nbt)
 
     logger = MetricWriter(opt.tb_folder)
     rng_np = np.random.RandomState(opt.set_seed)
@@ -407,6 +408,8 @@ def main(argv=None):
 
         vm = pt.run_validation(eval_step, state, val_imgs_for_eval,
                                val_labels, opt.batch_size // 2)
+        if opt.faithful_nbt:
+            vm, state = vm
         print(f" * Val Acc@1 {vm['acc1']:.3f} Acc@5 {vm['acc5']:.3f}")
         logger.log_value("test_acc", vm["acc1"], epoch)
         logger.log_value("test_acc_top5", vm["acc5"], epoch)
