@@ -698,8 +698,67 @@ def _chunked_apply(fn, x, chunk: int):
     return fs.reshape((-1, fs.shape[-1]))[:n]
 
 
+def _opt_fingerprint(opt) -> tuple:
+    """Hashable snapshot of every public scalar config attribute.
+
+    Used to key the cross-invocation session-program cache: two opt objects
+    with identical snapshots produce identical traced programs (every
+    ``opt.<field>`` read during tracing is a public scalar attr, and the
+    snapshot takes ALL of them — over-keying only costs a cache miss,
+    never a stale program).  Non-scalar attrs fall back to ``repr`` (an
+    object repr with an id makes the key unique → miss, the safe
+    direction)."""
+    items = []
+    for name in sorted(dir(opt)):
+        if name.startswith("_"):
+            continue
+        try:
+            v = getattr(opt, name)
+        except Exception:
+            continue
+        if callable(v):
+            continue
+        if isinstance(v, (type(None), bool, int, float, str)):
+            items.append((name, v))
+        else:
+            items.append((name, repr(v)))
+    return tuple(items)
+
+
+# Cross-invocation cache of built session programs.  Re-invoking the engine
+# (bench warm passes, seed sweeps, repeated CLI sessions in one process)
+# otherwise recreates every jitted closure and pays the FULL retrace (~11s
+# measured on v5e for the golden program — the dominant term of a warm
+# 8-session run).  jit caches key on function identity, so reusing the
+# closure objects is what makes the second invocation actually warm.
+_SESSION_FNS_CACHE: dict = {}
+_SESSION_FNS_CACHE_MAX = 4
+
+
 def make_session_fn(backbone, opt, geo: SessionGeometry, with_bias: bool,
                     pallas_mode: str = "auto", eval_chunk: int = None):
+    key = None
+    try:
+        key = (backbone, geo, with_bias, pallas_mode, eval_chunk,
+               _opt_fingerprint(opt))
+        hit = _SESSION_FNS_CACHE.get(key)
+    except TypeError:        # unhashable backbone field — build uncached
+        hit = None
+    if hit is not None:
+        return hit
+    fns = _make_session_fn_uncached(backbone, opt, geo, with_bias,
+                                    pallas_mode, eval_chunk)
+    if key is not None:
+        while len(_SESSION_FNS_CACHE) >= _SESSION_FNS_CACHE_MAX:
+            _SESSION_FNS_CACHE.pop(next(iter(_SESSION_FNS_CACHE)))
+        _SESSION_FNS_CACHE[key] = fns
+    return fns
+
+
+def _make_session_fn_uncached(backbone, opt, geo: SessionGeometry,
+                              with_bias: bool,
+                              pallas_mode: str = "auto",
+                              eval_chunk: int = None):
     """Build the once-compiled session program.
 
     ``eval_chunk``: compute the large eval-mode feature caches (query
@@ -1143,11 +1202,21 @@ def _subset_opt_state(state, keys):
     return tuple(fix(s) for s in state)
 
 
+_EVAL_BASE_CACHE: dict = {}
+
+
 def eval_base_fn(backbone, eval_chunk: int = None):
     """Standalone base-batch evaluation (reference eval_base,
     language_eval.py:46-69) for the initial pre-session measurement.
     ``eval_chunk`` bounds transient activation memory (see
-    ``make_session_fn``)."""
+    ``make_session_fn``).  Cached across invocations like the session
+    program (same retrace-avoidance rationale)."""
+    try:
+        hit = _EVAL_BASE_CACHE.get((backbone, eval_chunk))
+    except TypeError:
+        hit = None
+    if hit is not None:
+        return hit
 
     def fwd(variables, x):
         return backbone.apply(variables, x, train=False)
@@ -1164,6 +1233,12 @@ def eval_base_fn(backbone, eval_chunk: int = None):
         acc1, _ = losses.accuracy_topk(out, base_y)
         return acc1
 
+    try:
+        while len(_EVAL_BASE_CACHE) >= _SESSION_FNS_CACHE_MAX:
+            _EVAL_BASE_CACHE.pop(next(iter(_EVAL_BASE_CACHE)))
+        _EVAL_BASE_CACHE[(backbone, eval_chunk)] = f
+    except TypeError:
+        pass
     return f
 
 
@@ -1483,10 +1558,12 @@ def few_shot_finetune_incremental_test(
 
         # classifier growth (language_eval.py:214)
         grow_key = jax.random.PRNGKey(opt.set_seed * 61 + 1000 + idx)
+        # host-int n_active keeps augment() free of device->host syncs on
+        # the dispatch path (see head_lib.augment)
         new_head = head_lib.augment(
             head_lib.Head(weight=head_w,
                           bias=head_b if with_bias else None,
-                          n_active=jnp.asarray(n_active, jnp.int32)),
+                          n_active=n_active),
             grow_key, len(novel_labels))
         head_w = new_head.weight
         if with_bias:
@@ -1605,8 +1682,32 @@ def few_shot_finetune_incremental_test(
             now = time.time()
             real_secs.append(now - t_prev)
             t_prev = now
-        for args in pending:
-            _process_session_metrics(*args)
+        # everything has completed on device — fetch the scalar metric set
+        # of ALL sessions in ONE device->host transfer (each separate pull
+        # pays a full ~0.1s relay round-trip through the axon tunnel;
+        # 4 leaves x 8 sessions serialized was ~3s of the warm pass).
+        # query/base preds and the epoch trace stay lazy: only save_preds /
+        # verbose runs touch them.
+        S = geo.max_sessions
+        packed = jnp.stack([
+            jnp.concatenate([
+                m["chunk_accs"].astype(jnp.float32),
+                m["chunk_valid"].astype(jnp.float32),
+                jnp.stack([m["base_acc"].astype(jnp.float32),
+                           m["epochs"].astype(jnp.float32),
+                           m["train_loss"].astype(jnp.float32),
+                           m["support_acc1"].astype(jnp.float32),
+                           m["support_acc5"].astype(jnp.float32)])])
+            for _i, m, *_r in pending])
+        packed_host = np.asarray(packed)
+        for (args, row) in zip(pending, packed_host):
+            idx_i, metrics_i = args[0], dict(args[1])
+            metrics_i.update(
+                chunk_accs=row[:S], chunk_valid=row[S:2 * S] > 0.5,
+                base_acc=row[2 * S], epochs=row[2 * S + 1],
+                train_loss=row[2 * S + 2], support_acc1=row[2 * S + 3],
+                support_acc5=row[2 * S + 4])
+            _process_session_metrics(idx_i, metrics_i, *args[2:])
         secs[:] = real_secs
 
     if tracked or opt.freeze_backbone_at != 1:

@@ -86,21 +86,27 @@ def augment(head: Head, rng: jax.Array, n_new: int) -> Head:
     (reference ``augment_base_classifier_``, models/resnet_language.py:202-226).
 
     jit-safe: writes via masks so ``n_active`` may be a traced scalar.
+    When ``n_active`` is a host int the whole update stays host-static —
+    in particular ``jnp.roll`` must NOT receive a concrete device scalar,
+    whose ``__index__`` blocks on a device->host pull (~0.1s per call
+    through the axon relay, on the engine's session dispatch path).
     """
     new_w, new_b = _torch_linear_init(rng, head.max_classes, head.in_dim,
                                       head.bias is not None)
+    n_act = head.n_active
+    if isinstance(n_act, jax.Array) and not isinstance(n_act, jax.core.Tracer):
+        n_act = int(n_act)       # one pull instead of one per roll below
     rows = jnp.arange(head.max_classes)
-    sel = (rows >= head.n_active) & (rows < head.n_active + n_new)
+    sel = (rows >= n_act) & (rows < n_act + n_new)
     # roll the fresh block so row j of the fresh init lands at n_active + j,
     # keeping the sampled distribution independent of the session index
-    shifted_w = jnp.roll(new_w, head.n_active, axis=0)
+    shifted_w = jnp.roll(new_w, n_act, axis=0)
     weight = jnp.where(sel[:, None], shifted_w, head.weight)
     bias = head.bias
     if bias is not None:
-        shifted_b = jnp.roll(new_b, head.n_active, axis=0)
+        shifted_b = jnp.roll(new_b, n_act, axis=0)
         bias = jnp.where(sel, shifted_b, bias)
-    return Head(weight=weight, bias=bias,
-                n_active=head.n_active + jnp.asarray(n_new, jnp.int32))
+    return Head(weight=weight, bias=bias, n_active=n_act + n_new)
 
 
 def row_range_mask(head: Head, lo, hi) -> jax.Array:
