@@ -116,10 +116,21 @@ def few_shot_finetune_multiseed(
     fns = make_session_fn(backbone, opt0, geo, with_bias,
                           pallas_mode=pallas_mode,
                           eval_chunk=geo.n_query_per_session)
-    vsession = jax.jit(jax.vmap(
-        fns["session"],
-        in_axes=(0, 0, 0, None, 0, 0, 0, None, 0, 0, 0, 0, None,
-                 0, 0, None, 0, 0, 0, None, 0)))
+    # the vmapped wrappers are cached alongside fns: make_session_fn memoizes
+    # across invocations, so re-wrapping here would discard that and retrace
+    # the whole vmapped program per seed group (tens of seconds each)
+    vsession = fns.get("_vsession")
+    if vsession is None:
+        vsession = jax.jit(jax.vmap(
+            fns["session"],
+            in_axes=(0, 0, 0, None, 0, 0, 0, None, 0, 0, 0, 0, None,
+                     0, 0, None, 0, 0, 0, None, 0)))
+        fns["_vsession"] = vsession
+    vaugment = fns.get("_vaugment")
+    if vaugment is None:
+        vaugment = jax.jit(jax.vmap(
+            lambda h, k: head_lib.augment(h, k, geo.n_ways)))
+        fns["_vaugment"] = vaugment
 
     # per-seed RNG streams mirror the reference's per-process global stream
     streams = []
@@ -195,9 +206,12 @@ def few_shot_finetune_multiseed(
     lang_state = [None] * S
 
     # initial base accuracy per seed (language_eval.py:128-129)
-    bev = jax.vmap(eval_base_fn(backbone,
-                                eval_chunk=geo.n_query_per_session),
-                   in_axes=(0, 0, None, None, 0, 0))
+    bev = fns.get("_vbase_eval")
+    if bev is None:
+        bev = jax.vmap(eval_base_fn(backbone,
+                                    eval_chunk=geo.n_query_per_session),
+                       in_axes=(0, 0, None, None, 0, 0))
+        fns["_vbase_eval"] = bev
     init_base = np.asarray(bev(variables, jnp.asarray(head_w), None,
                                n_active, base_x, base_y))
     for s_i in range(S):
@@ -291,8 +305,7 @@ def few_shot_finetune_multiseed(
             weight=jnp.asarray(head_w),
             bias=jnp.asarray(head_b) if with_bias else None,
             n_active=jnp.full((S,), n_active, jnp.int32))
-        grown = jax.vmap(lambda h, k: head_lib.augment(h, k, geo.n_ways))(
-            heads, grow_keys)
+        grown = vaugment(heads, grow_keys)
         head_w = np.asarray(grown.weight)
         if with_bias:
             head_b = np.asarray(grown.bias)
