@@ -698,6 +698,14 @@ def _chunked_apply(fn, x, chunk: int):
     return fs.reshape((-1, fs.shape[-1]))[:n]
 
 
+_FP_EXCLUDE = frozenset({
+    "set_seed",            # per-seed RNG stream: PRNGKeys are call args
+    "model_path", "reload_path", "data_root",       # I/O paths
+    "tb_folder", "save_folder", "tb_path", "model_name",
+    "word_embed_path", "trial",
+})
+
+
 def _opt_fingerprint(opt) -> tuple:
     """Hashable snapshot of every public scalar config attribute.
 
@@ -707,10 +715,18 @@ def _opt_fingerprint(opt) -> tuple:
     snapshot takes ALL of them — over-keying only costs a cache miss,
     never a stale program).  Non-scalar attrs fall back to ``repr`` (an
     object repr with an id makes the key unique → miss, the safe
-    direction)."""
+    direction).
+
+    ``_FP_EXCLUDE`` lists the fields that vary across the runs a seed
+    sweep wants to SHARE one program for (per-seed RNG stream, I/O
+    paths).  Each is verified absent from every build-time opt read
+    (builder body + _resolve_pallas/_pallas_vmem_bytes/_trace_rows +
+    utils/optim.get_optim — they only parameterize host-side drivers
+    that receive ``opt`` per call); tests/test_session_fn_cache.py pins
+    both directions."""
     items = []
     for name in sorted(dir(opt)):
-        if name.startswith("_"):
+        if name.startswith("_") or name in _FP_EXCLUDE:
             continue
         try:
             v = getattr(opt, name)

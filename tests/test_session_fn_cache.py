@@ -102,6 +102,21 @@ def test_any_scalar_config_change_misses():
         eval_base_fn(_backbone(), eval_chunk=8)
 
 
+def test_seed_sweep_shares_one_program():
+    # a seed sweep varies ONLY set_seed + I/O paths; those are verified
+    # absent from every build-time opt read, so the sweep must share one
+    # traced program (the whole point of the cache: a 10-seed sweep paid
+    # ~11s of retrace per seed otherwise)
+    base = make_session_fn(_backbone(), Opt(), _geo(), with_bias=False,
+                           pallas_mode="off")
+
+    class OptSeed2(Opt):
+        set_seed = 2
+        model_path = "/somewhere/else/seed2.ckpt"
+    assert make_session_fn(_backbone(), OptSeed2(), _geo(),
+                           with_bias=False, pallas_mode="off") is base
+
+
 def test_fingerprint_covers_every_engine_opt_read():
     # every public scalar attr appears in the fingerprint — including the
     # ones the engine reads at trace time (the dangerous set)
