@@ -17,6 +17,48 @@ from flax import serialization
 from ..models.head import Head
 
 
+_unpack_cache: Dict[tuple, Any] = {}
+
+
+def device_put_packed(tree):
+    """Upload a host pytree in ONE transfer per dtype.
+
+    The chip sits behind a relay tunnel (~19MB/s, ~0.1s round-trip per
+    transfer), so uploading a ~100-leaf checkpoint leaf-by-leaf costs tens
+    of seconds of pure round-trip latency (measured: ~80s per checkpoint
+    load inside the seed fan-out).  Packing every same-dtype leaf into one
+    flat buffer makes the upload bandwidth-bound instead; the device-side
+    slice/reshape ops dispatch asynchronously.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrs = [np.asarray(x) for x in leaves]
+    by_dtype: Dict[str, list] = {}
+    for i, a in enumerate(arrs):
+        by_dtype.setdefault(a.dtype.str, []).append(i)
+    bufs = {dt: np.concatenate([arrs[i].ravel() for i in idxs])
+            for dt, idxs in by_dtype.items()}
+    # ONE jitted unpack program (cached per shape signature): eager
+    # per-leaf slices would dispatch ~100 separate tiny programs, each
+    # paying a remote compile on first sight (~2s each through the relay)
+    sig = tuple((a.shape, a.dtype.str) for a in arrs)
+    fn = _unpack_cache.get(sig)
+    if fn is None:
+        def unpack(bufs_, _spec=sig, _groups=dict(by_dtype)):
+            out = [None] * len(_spec)
+            for dt, idxs in _groups.items():
+                off = 0
+                for i in idxs:
+                    shape, _ = _spec[i]
+                    n = int(np.prod(shape, dtype=np.int64))
+                    out[i] = jax.lax.slice(
+                        bufs_[dt], (off,), (off + n,)).reshape(shape)
+                    off += n
+            return out
+        fn = jax.jit(unpack)
+        _unpack_cache[sig] = fn
+    return jax.tree_util.tree_unflatten(treedef, fn(bufs))
+
+
 def save_checkpoint(path: str, variables: Dict[str, Any], head: Head,
                     meta: Optional[Dict[str, Any]] = None,
                     extra: Optional[Any] = None) -> None:
@@ -51,14 +93,24 @@ def save_checkpoint(path: str, variables: Dict[str, Any], head: Head,
                      "has_bias": head.bias is not None}, f)
 
 
-def load_checkpoint(path: str, extra_template: Optional[Any] = None):
+def load_checkpoint(path: str, extra_template: Optional[Any] = None,
+                    device: bool = True):
+    """``device=False`` returns numpy leaves (callers that re-stack per-seed
+    checkpoints upload once, packed, instead of per seed).  ``n_active`` is
+    a host int either way — a device scalar there forces a blocking relay
+    round-trip on every later ``int()``."""
     with open(path, "rb") as f:
         raw = pickle.load(f)
     tree = serialization.msgpack_restore(raw["msgpack"])
-    variables = jax.tree_util.tree_map(jnp.asarray, tree["variables"])
-    bias = jnp.asarray(tree["head_bias"]) if raw["has_bias"] else None
-    head = Head(weight=jnp.asarray(tree["head_weight"]), bias=bias,
-                n_active=jnp.asarray(int(tree["head_n_active"]), jnp.int32))
+    packed = {"variables": tree["variables"],
+              "head_weight": tree["head_weight"]}
+    if raw["has_bias"]:
+        packed["head_bias"] = tree["head_bias"]
+    if device:
+        packed = device_put_packed(packed)
+    head = Head(weight=packed["head_weight"],
+                bias=packed.get("head_bias"),
+                n_active=int(tree["head_n_active"]))
     meta = dict(raw["meta"])
     if "extra" in tree:
         if extra_template is not None:
@@ -66,7 +118,7 @@ def load_checkpoint(path: str, extra_template: Optional[Any] = None):
                 extra_template, tree["extra"])
         else:
             meta["extra"] = tree["extra"]
-    return variables, head, meta
+    return packed["variables"], head, meta
 
 
 def save_orbax(dirpath: str, variables: Dict[str, Any], head: Head,
@@ -96,20 +148,25 @@ def load_orbax(dirpath: str):
     payload = ckptr.restore(path)
     with open(os.path.join(path, "meta.pkl"), "rb") as f:
         raw = pickle.load(f)
-    variables = jax.tree_util.tree_map(jnp.asarray, payload["variables"])
-    bias = (jnp.asarray(payload["head_bias"]) if raw["has_bias"] else None)
-    head = Head(weight=jnp.asarray(payload["head_weight"]), bias=bias,
-                n_active=jnp.asarray(int(payload["head_n_active"]),
-                                     jnp.int32))
-    return variables, head, raw["meta"]
+    packed = device_put_packed(
+        {"variables": payload["variables"], "w": payload["head_weight"],
+         **({"b": payload["head_bias"]} if raw["has_bias"] else {})})
+    head = Head(weight=packed["w"], bias=packed.get("b"),
+                n_active=int(payload["head_n_active"]))
+    return packed["variables"], head, raw["meta"]
 
 
-def load_any(path: str, max_classes: Optional[int] = None):
+def load_any(path: str, max_classes: Optional[int] = None,
+             device: bool = True):
     """Dispatch: reference .pth (torch pickle) or native checkpoint."""
     if path.endswith(".pth"):
         from .torch_import import import_checkpoint
-        return import_checkpoint(path, max_classes=max_classes)
-    variables, head, meta = load_checkpoint(path)
+        return import_checkpoint(path, max_classes=max_classes,
+                                 device=device)
+    # load on host, pad on host, then (optionally) one packed upload — the
+    # padding branch must not trigger a device->host pull of freshly
+    # uploaded weights
+    variables, head, meta = load_checkpoint(path, device=False)
     if max_classes is not None and head.weight.shape[0] != max_classes:
         n = int(head.n_active)
         w = np.zeros((max_classes, head.weight.shape[1]), np.float32)
@@ -118,7 +175,12 @@ def load_any(path: str, max_classes: Optional[int] = None):
         if head.bias is not None:
             b = np.zeros((max_classes,), np.float32)
             b[:n] = np.asarray(head.bias)[:n]
-        head = Head(weight=jnp.asarray(w),
-                    bias=jnp.asarray(b) if b is not None else None,
-                    n_active=jnp.asarray(n, jnp.int32))
+        head = Head(weight=w, bias=b, n_active=n)
+    if device:
+        packed = {"v": variables, "w": head.weight,
+                  **({} if head.bias is None else {"b": head.bias})}
+        packed = device_put_packed(packed)
+        variables = packed["v"]
+        head = Head(weight=packed["w"], bias=packed.get("b"),
+                    n_active=int(head.n_active))
     return variables, head, meta

@@ -60,41 +60,41 @@ def import_backbone(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         rest = parts[2:]
         mod = rest[0]
         if mod.startswith("conv"):
-            pdict(params, blk, mod)["kernel"] = jnp.asarray(
+            pdict(params, blk, mod)["kernel"] = np.asarray(
                 v.transpose(2, 3, 1, 0), jnp.float32)
         elif mod.startswith("bn"):
             attr = rest[1]
             if attr == "weight":
-                pdict(params, blk, mod)["scale"] = jnp.asarray(v, jnp.float32)
+                pdict(params, blk, mod)["scale"] = np.asarray(v, jnp.float32)
             elif attr == "bias":
-                pdict(params, blk, mod)["bias"] = jnp.asarray(v, jnp.float32)
+                pdict(params, blk, mod)["bias"] = np.asarray(v, jnp.float32)
             elif attr == "running_mean":
-                pdict(stats, blk, mod)["mean"] = jnp.asarray(v, jnp.float32)
+                pdict(stats, blk, mod)["mean"] = np.asarray(v, jnp.float32)
             elif attr == "running_var":
-                pdict(stats, blk, mod)["var"] = jnp.asarray(v, jnp.float32)
+                pdict(stats, blk, mod)["var"] = np.asarray(v, jnp.float32)
             # num_batches_tracked intentionally dropped (torch-internal)
         elif mod == "downsample":
             if rest[1] == "0":  # 1x1 conv
-                pdict(params, blk, "ds_conv")["kernel"] = jnp.asarray(
+                pdict(params, blk, "ds_conv")["kernel"] = np.asarray(
                     v.transpose(2, 3, 1, 0), jnp.float32)
             else:               # BN
                 attr = rest[2]
                 if attr == "weight":
-                    pdict(params, blk, "ds_bn")["scale"] = jnp.asarray(v, jnp.float32)
+                    pdict(params, blk, "ds_bn")["scale"] = np.asarray(v, jnp.float32)
                 elif attr == "bias":
-                    pdict(params, blk, "ds_bn")["bias"] = jnp.asarray(v, jnp.float32)
+                    pdict(params, blk, "ds_bn")["bias"] = np.asarray(v, jnp.float32)
                 elif attr == "running_mean":
-                    pdict(stats, blk, "ds_bn")["mean"] = jnp.asarray(v, jnp.float32)
+                    pdict(stats, blk, "ds_bn")["mean"] = np.asarray(v, jnp.float32)
                 elif attr == "running_var":
-                    pdict(stats, blk, "ds_bn")["var"] = jnp.asarray(v, jnp.float32)
+                    pdict(stats, blk, "ds_bn")["var"] = np.asarray(v, jnp.float32)
         elif mod == "se":
             fc = "fc1" if rest[2] == "0" else "fc2"
             attr = rest[3]
             sub = pdict(params, blk, "se").setdefault(fc, {})
             if attr == "weight":
-                sub["kernel"] = jnp.asarray(v.T, jnp.float32)
+                sub["kernel"] = np.asarray(v.T, jnp.float32)
             else:
-                sub["bias"] = jnp.asarray(v, jnp.float32)
+                sub["bias"] = np.asarray(v, jnp.float32)
         # anything else (vocab classifier remnants) is ignored
     return {"params": params, "batch_stats": stats}
 
@@ -111,17 +111,29 @@ def import_head(sd: Dict[str, np.ndarray],
     if b is not None:
         bias = np.zeros((max_classes,), np.float32)
         bias[:n_cls] = np.asarray(b, np.float32)
-    return Head(weight=jnp.asarray(weight),
-                bias=jnp.asarray(bias) if bias is not None else None,
-                n_active=jnp.asarray(n_cls, jnp.int32))
+    return Head(weight=weight, bias=bias, n_active=n_cls)
 
 
-def import_checkpoint(path: str, max_classes: Optional[int] = None):
-    """Load a reference .pth; returns (variables, head, meta dict)."""
+def import_checkpoint(path: str, max_classes: Optional[int] = None,
+                      device: bool = True):
+    """Load a reference .pth; returns (variables, head, meta dict).
+
+    Construction is all-numpy; ``device=True`` then uploads the whole tree
+    in one packed transfer (see checkpoint.device_put_packed — leaf-by-leaf
+    uploads through the relay tunnel pay ~0.1s round-trip each).
+    """
     ckpt = load_pth(path)
     sd = state_dict_to_numpy(ckpt["model"])
     variables = import_backbone(sd)
     head = import_head(sd, max_classes=max_classes)
+    if device:
+        from .checkpoint import device_put_packed
+        packed = {"v": variables, "w": head.weight,
+                  **({} if head.bias is None else {"b": head.bias})}
+        packed = device_put_packed(packed)
+        variables = packed["v"]
+        head = Head(weight=packed["w"], bias=packed.get("b"),
+                    n_active=int(head.n_active))
     meta = {
         "training_classes": ckpt.get("training_classes"),
         "label2human": ckpt.get("label2human"),

@@ -31,6 +31,8 @@ def _run_vmapped(args, rest):
     from subspace_reg_tpu.models.factory import create_model
     from subspace_reg_tpu.utils.checkpoint import load_any
 
+    import time as _t
+    _run_vmapped._t0 = _t.time()
     opts, variables_l, heads, metas = [], [], [], []
     samplers, base_tests, base_supports = [], [], []
     backbone = None
@@ -42,19 +44,28 @@ def _run_vmapped(args, rest):
         opt = parse_option_eval(argv)
         n_cls = 80 if opt.use_trainval else 60
         max_classes = n_cls + MAX_SESSIONS * opt.n_ways
+        # device=False: per-seed trees stay on host; the multiseed engine
+        # stacks them and uploads ONE packed transfer for the whole fleet
+        # (leaf-by-leaf uploads pay ~0.1s relay round-trip each)
         variables, head, meta = load_any(opt.model_path,
-                                         max_classes=max_classes)
+                                         max_classes=max_classes,
+                                         device=False)
         if backbone is None:
             backbone = create_model(opt.model, n_cls, opt,
                                     dataset=opt.dataset)
         if "counters" not in variables:
-            import jax
-            import jax.numpy as jnp
-            init_vars = backbone.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 84, 84, 3)),
-                train=False)
+            if not hasattr(_run_vmapped, "_counters0"):
+                import jax
+                import jax.numpy as jnp
+                init_vars = backbone.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 84, 84, 3)),
+                    train=False)
+                # host copy: keeps the per-seed trees all-numpy so the
+                # multiseed engine can host-stack + packed-upload them
+                _run_vmapped._counters0 = jax.device_get(
+                    init_vars["counters"])
             variables = dict(variables)
-            variables["counters"] = init_vars["counters"]
+            variables["counters"] = _run_vmapped._counters0
         base_test = load_mini_imagenet(opt, split="train", phase="test")
         base_train = load_mini_imagenet(opt, split="train", phase="train")
         novel = load_mini_imagenet(opt, split="val")
@@ -70,6 +81,8 @@ def _run_vmapped(args, rest):
             if opt.n_base_support_samples > 0 else None)
     if any(b is None for b in base_supports):
         base_supports = None
+    import time as _t
+    print(f"[setup done t={_t.time() - _run_vmapped._t0:.1f}s]", flush=True)
     ms = few_shot_finetune_multiseed(
         backbone, variables_l, heads, metas, opts, samplers, base_tests,
         per_seed_base_support=base_supports, verbose=True,
@@ -111,12 +124,17 @@ def main(argv=None):
         all_seeds = list(args.seeds)
         group = args.seed_batch or len(all_seeds)
         results = []
+        import time as _time
         for lo in range(0, len(all_seeds), group):
             gargs = _copy.copy(args)
             gargs.seeds = all_seeds[lo:lo + group]
             if len(all_seeds) > group:
-                print(f"===== vmapped seed group {gargs.seeds} =====")
+                print(f"===== vmapped seed group {gargs.seeds} =====",
+                      flush=True)
+            g0 = _time.time()
             results.extend(_run_vmapped(gargs, rest))
+            print(f"[group {gargs.seeds} wall {_time.time() - g0:.1f}s]",
+                  flush=True)
         for res in results:
             novel_all.append(res.acc_novel_avg)
             base_all.append(res.acc_base_avg)
