@@ -41,6 +41,12 @@ from .incremental import (IncrementalResult, _Meter, build_geometry,
                           eval_base_fn, make_session_fn)
 
 
+# one-slot cache of the HBM-staged novel split: (host ndarray ref, device
+# array).  Seed groups in one fan-out all read the same pickle-cached host
+# array, so the upload happens once per process, not once per group.
+_novel_stage_cache: Dict[int, Any] = {}
+
+
 @dataclass
 class MultiSeedResult:
     per_seed: List[IncrementalResult]
@@ -146,6 +152,15 @@ def few_shot_finetune_multiseed(
         if leaves and all(isinstance(x, np.ndarray)
                           for x in jax.tree_util.tree_leaves(vs)):
             from ..utils.checkpoint import device_put_packed
+            # seeds loaded from the SAME checkpoint share leaf objects
+            # (run_seeds caches load_any by path): upload one copy and
+            # broadcast on device instead of shipping S identical ~50MB
+            # backbones through the ~19MB/s relay tunnel
+            if len(vs) > 1 and all(
+                    all(a is b for a, b in zip(
+                        leaves, jax.tree_util.tree_leaves(v)))
+                    for v in vs[1:]):
+                return device_put_packed(vs[0], lanes=len(vs))
             stacked = jax.tree_util.tree_map(
                 lambda *xs: np.stack(xs), *vs)
             return device_put_packed(stacked)
@@ -170,34 +185,50 @@ def few_shot_finetune_multiseed(
         head_b = jnp.zeros((S, geo.max_classes), jnp.float32)
     b0 = head_b
 
-    base_x, base_y, base_sup_x, base_sup_y = [], [], [], []
+    # base eval/support staging stays on device end-to-end: upload the
+    # stacked uint8 once (4x smaller than f32 through the relay tunnel),
+    # normalize/augment on device, never pull pixels back to host
+    base_u8, base_y, base_sup_u8, base_sup_y, base_sup_keys = \
+        [], [], [], [], []
     for s_i, (opt, bt) in enumerate(zip(opts, per_seed_base_test)):
         min_lbl = min(bt.labels)
-        base_x.append(np.asarray(aug_ops.normalize_batch(
-            jnp.asarray(bt.imgs[:base_eval_n]), test_spec)))
+        base_u8.append(bt.imgs[:base_eval_n])
         base_y.append(np.asarray(
             [l - min_lbl for l in bt.labels[:base_eval_n]], np.int32))
         if per_seed_base_support is not None:
             ep = per_seed_base_support[s_i].get(0)
-            key = jax.random.PRNGKey(opt.set_seed * 7919 + 17)
-            base_sup_x.append(np.asarray(aug_ops.augment_batch(
-                key, jnp.asarray(ep.support_x), train_spec)))
+            base_sup_keys.append(jax.random.PRNGKey(opt.set_seed * 7919 + 17))
+            base_sup_u8.append(ep.support_x)
             base_sup_y.append(ep.support_y.astype(np.int32))
-    base_x = jnp.asarray(np.stack(base_x))
+    base_x = aug_ops.normalize_batch(
+        jnp.asarray(np.stack(base_u8)), test_spec)
     base_y_host = np.stack(base_y)
     base_y = jnp.asarray(base_y_host)
-    if base_sup_x:
-        base_sup_x = jnp.asarray(np.stack(base_sup_x))
+    base_sup_x = None
+    if base_sup_u8:
+        base_sup_x = jax.vmap(
+            lambda k, x: aug_ops.augment_batch(k, x, train_spec))(
+                jnp.stack(base_sup_keys),
+                jnp.asarray(np.stack(base_sup_u8)))
 
     # stage the novel split's uint8 images in HBM once (the standalone
     # engine's design): episodes become device-side gathers from host-sent
     # index vectors.  Seeds load the same split, so one copy serves all —
     # verified by content; distinct content falls back to pixel uploads.
+    # The staged copy is cached across seed GROUPS too: the pickle cache
+    # hands every group the same host ndarray, so one upload serves the
+    # whole fan-out (keyed by object identity, holding the host ref).
     novel_imgs_dev = None
     _imgs0 = per_seed_samplers[0].base.imgs
     if all(s.base.imgs is _imgs0 or np.array_equal(s.base.imgs, _imgs0)
            for s in per_seed_samplers[1:]):
-        novel_imgs_dev = jnp.asarray(_imgs0)
+        cached = _novel_stage_cache.get(id(_imgs0))
+        if cached is not None and cached[0] is _imgs0:
+            novel_imgs_dev = cached[1]
+        else:
+            novel_imgs_dev = jnp.asarray(_imgs0)
+            _novel_stage_cache.clear()
+            _novel_stage_cache[id(_imgs0)] = (_imgs0, novel_imgs_dev)
 
     reserved = jnp.zeros((S, geo.max_novel, geo.feat_dim), jnp.float32)
     n_reserved = 0

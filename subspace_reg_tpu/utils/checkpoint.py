@@ -20,7 +20,7 @@ from ..models.head import Head
 _unpack_cache: Dict[tuple, Any] = {}
 
 
-def device_put_packed(tree):
+def device_put_packed(tree, lanes: Optional[int] = None):
     """Upload a host pytree in ONE transfer per dtype.
 
     The chip sits behind a relay tunnel (~19MB/s, ~0.1s round-trip per
@@ -29,6 +29,12 @@ def device_put_packed(tree):
     load inside the seed fan-out).  Packing every same-dtype leaf into one
     flat buffer makes the upload bandwidth-bound instead; the device-side
     slice/reshape ops dispatch asynchronously.
+
+    ``lanes=S`` additionally broadcasts every leaf to ``(S,) + shape``
+    INSIDE the same single unpack program — the seed fan-out's "upload one
+    shared checkpoint, fan out S lanes on device" path.  (An eager
+    per-leaf broadcast_to would dispatch ~200 tiny programs, each paying a
+    ~2s remote compile through the relay — measured at 433s per group.)
     """
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrs = [np.asarray(x) for x in leaves]
@@ -40,18 +46,23 @@ def device_put_packed(tree):
     # ONE jitted unpack program (cached per shape signature): eager
     # per-leaf slices would dispatch ~100 separate tiny programs, each
     # paying a remote compile on first sight (~2s each through the relay)
-    sig = tuple((a.shape, a.dtype.str) for a in arrs)
+    sig = (tuple((a.shape, a.dtype.str) for a in arrs), lanes)
     fn = _unpack_cache.get(sig)
     if fn is None:
-        def unpack(bufs_, _spec=sig, _groups=dict(by_dtype)):
+        def unpack(bufs_, _spec=sig[0], _groups=dict(by_dtype),
+                   _lanes=lanes):
             out = [None] * len(_spec)
             for dt, idxs in _groups.items():
                 off = 0
                 for i in idxs:
                     shape, _ = _spec[i]
                     n = int(np.prod(shape, dtype=np.int64))
-                    out[i] = jax.lax.slice(
+                    leaf = jax.lax.slice(
                         bufs_[dt], (off,), (off + n,)).reshape(shape)
+                    if _lanes is not None:
+                        leaf = jnp.broadcast_to(
+                            leaf[None], (_lanes,) + shape)
+                    out[i] = leaf
                     off += n
             return out
         fn = jax.jit(unpack)

@@ -269,3 +269,35 @@ def test_multiseed_pallas_interpret_matches_off(env):
                                    atol=0.05)
         np.testing.assert_allclose(got.acc_base_list, want.acc_base_list,
                                    atol=0.05)
+
+
+def test_multiseed_shared_host_tree_broadcast_matches_copies(env):
+    """Round-3 relay diet: seeds loaded from the SAME checkpoint hand the
+    engine one shared host (numpy) tree per seed; stack_vars uploads a
+    single copy and broadcasts on device.  Must be trace-identical to
+    uploading S distinct (but equal) host copies."""
+    seeds = [3, 6]
+
+    def run(shared):
+        inputs = [_seed_inputs(env, s, 100) for s in seeds]
+        host0 = jax.device_get(inputs[0]["variables"])
+        if shared:
+            trees = [host0 for _ in inputs]            # same object
+        else:
+            trees = [jax.tree_util.tree_map(np.copy, host0)
+                     for _ in inputs]                  # distinct leaves
+        return few_shot_finetune_multiseed(
+            env["backbone"], trees,
+            [inp["head"] for inp in inputs],
+            [{} for _ in inputs],
+            [inp["opt"] for inp in inputs],
+            [inp["meta_sampler"] for inp in inputs],
+            [inp["base_test"] for inp in inputs],
+            [inp["base_support"] for inp in inputs])
+
+    ms_shared = run(True)
+    ms_copies = run(False)
+    for got, want in zip(ms_shared.per_seed, ms_copies.per_seed):
+        assert got.epochs_per_session == want.epochs_per_session
+        assert got.acc_novel_list == want.acc_novel_list
+        assert got.acc_base_list == want.acc_base_list

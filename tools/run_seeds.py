@@ -46,10 +46,21 @@ def _run_vmapped(args, rest):
         max_classes = n_cls + MAX_SESSIONS * opt.n_ways
         # device=False: per-seed trees stay on host; the multiseed engine
         # stacks them and uploads ONE packed transfer for the whole fleet
-        # (leaf-by-leaf uploads pay ~0.1s relay round-trip each)
-        variables, head, meta = load_any(opt.model_path,
-                                         max_classes=max_classes,
-                                         device=False)
+        # (leaf-by-leaf uploads pay ~0.1s relay round-trip each).
+        # Cached by path: seeds sharing one checkpoint then share leaf
+        # OBJECTS, which lets the engine upload a single broadcast copy.
+        import os as _os
+        ck = (_os.path.abspath(opt.model_path),
+              _os.path.getmtime(opt.model_path), max_classes)
+        if not hasattr(_run_vmapped, "_ckpt_cache"):
+            _run_vmapped._ckpt_cache = {}
+        if ck not in _run_vmapped._ckpt_cache:
+            while len(_run_vmapped._ckpt_cache) >= 12:
+                _run_vmapped._ckpt_cache.pop(
+                    next(iter(_run_vmapped._ckpt_cache)))
+            _run_vmapped._ckpt_cache[ck] = load_any(
+                opt.model_path, max_classes=max_classes, device=False)
+        variables, head, meta = _run_vmapped._ckpt_cache[ck]
         if backbone is None:
             backbone = create_model(opt.model, n_cls, opt,
                                     dataset=opt.dataset)
