@@ -30,6 +30,55 @@ TRAIN_PER_CLASS = 500   # reference hardcodes 500/50 (mini_imagenet.py:85)
 VAL_PER_CLASS = 50
 
 
+class LazyRows:
+    """A row-gather view ``full[sel]`` that defers the copy.
+
+    The continual split's eager gather materializes ~1.1GB of fresh pages
+    per seed (train 500/class + the whole novel split), which dominates
+    multi-seed fan-out setup — and none of it is needed: episode
+    composition touches a few hundred rows per session, and the engine
+    stages images in device HBM and gathers there.  ``LazyRows`` keeps
+    the shared pickle-cached array (``full``) plus the split's index
+    vector (``sel``); row access composes through ``sel`` (a view for
+    scalar indices), and the engine recognizes the type to stage ``full``
+    ONCE for every seed and group, turning per-seed splits into index
+    arithmetic.  ``np.asarray`` materializes, so eager consumers still
+    work.
+    """
+
+    __slots__ = ("full", "sel")
+
+    def __init__(self, full: np.ndarray, sel: np.ndarray):
+        self.full = full
+        self.sel = np.asarray(sel)
+
+    @property
+    def shape(self):
+        return (len(self.sel),) + self.full.shape[1:]
+
+    @property
+    def dtype(self):
+        return self.full.dtype
+
+    @property
+    def ndim(self):
+        return self.full.ndim
+
+    def __len__(self):
+        return len(self.sel)
+
+    def __getitem__(self, i):
+        if isinstance(i, (int, np.integer)):
+            return self.full[int(self.sel[i])]      # view, no copy
+        if isinstance(i, tuple):                    # e.g. imgs[ids, :]
+            return self.full[self.sel[i[0]]][(slice(None),) + i[1:]]
+        return self.full[self.sel[i]]               # slice / index array
+
+    def __array__(self, dtype=None, copy=None):
+        out = self.full[self.sel]
+        return out if dtype is None else out.astype(dtype)
+
+
 @dataclass
 class SplitData:
     """One loaded split: uint8 images + integer labels + vocab metadata."""
@@ -73,8 +122,16 @@ def _read_label2human(data_root: str, cat2label: Dict[str, int],
 def load_mini_imagenet(opt, split: str = "train",
                        phase: Optional[str] = None,
                        train_per_class: int = TRAIN_PER_CLASS,
-                       val_per_class: int = VAL_PER_CLASS) -> SplitData:
-    """Load miniImageNet with the reference's RNG-exact continual split."""
+                       val_per_class: int = VAL_PER_CLASS,
+                       lazy: bool = False) -> SplitData:
+    """Load miniImageNet with the reference's RNG-exact continual split.
+
+    ``lazy=True`` returns the continual split's images as a ``LazyRows``
+    view over the shared pickle-cached array instead of a gathered copy
+    (identical content; the np.random call sequence is unchanged).  Used
+    by the multi-seed fan-out, where per-seed gathered copies dominate
+    setup time and defeat cross-seed device staging.
+    """
     np.random.seed(opt.set_seed)
 
     if opt.continual:
@@ -94,7 +151,7 @@ def load_mini_imagenet(opt, split: str = "train",
     if opt.continual:
         imgs, labels, cat2label, basec_map = continual_split(
             imgs, data["labels"], cat2label, split, phase,
-            train_per_class, val_per_class)
+            train_per_class, val_per_class, lazy=lazy)
 
     label2human = _read_label2human(opt.data_root, cat2label)
     return SplitData(imgs=imgs, labels=labels, cat2label=cat2label,
@@ -104,7 +161,8 @@ def load_mini_imagenet(opt, split: str = "train",
 def continual_split(imgs, labels, cat2label, split: str, phase: Optional[str],
                     train_per_class: int, val_per_class: int,
                     n_total: int = N_TOTAL_CLASSES,
-                    n_base: int = N_BASE_CLASSES):
+                    n_base: int = N_BASE_CLASSES,
+                    lazy: bool = False):
     """The multi-session class/sample split with the reference's exact
     np.random call sequence (dataset/mini_imagenet.py:70-126): assumes
     np.random was just seeded with set_seed.  Shared by the miniImageNet
@@ -130,7 +188,7 @@ def continual_split(imgs, labels, cat2label, split: str, phase: Optional[str],
             raise ValueError(f"Phase {phase} is unrecognized for split train.")
         sel = parts[phase]
         new_labels = [basec_map[raw_labels[i]] for i in sel]
-        imgs = imgs[sel, :]
+        imgs = LazyRows(imgs, sel) if lazy else imgs[sel, :]
         cat2label = {k: basec_map[v] for k, v in cat2label.items()
                      if v in basec_map}
         return imgs, new_labels, cat2label, basec_map
@@ -139,7 +197,7 @@ def continual_split(imgs, labels, cat2label, split: str, phase: Optional[str],
         sel = np.array([i for i, e in enumerate(raw_labels)
                         if e in valc_set])
         new_labels = [raw_labels[i] for i in sel]
-        imgs = imgs[sel, :]
+        imgs = LazyRows(imgs, sel) if lazy else imgs[sel, :]
         cat2label = {k: v for k, v in cat2label.items() if v in valc_set}
         return imgs, new_labels, cat2label, basec_map
     raise ValueError(f"No such split as {split}.")

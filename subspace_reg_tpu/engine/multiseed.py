@@ -33,6 +33,7 @@ import numpy as np
 
 from .incremental import session_count
 from ..data.episodes import EpisodeSampler, get_vocabs
+from ..data.mini_imagenet import LazyRows
 from ..data.transforms import transforms_test_options
 from ..models import head as head_lib
 from ..models import lang_puller as lp
@@ -211,17 +212,38 @@ def few_shot_finetune_multiseed(
                 jnp.stack(base_sup_keys),
                 jnp.asarray(np.stack(base_sup_u8)))
 
-    # stage the novel split's uint8 images in HBM once (the standalone
-    # engine's design): episodes become device-side gathers from host-sent
-    # index vectors.  Seeds load the same split, so one copy serves all —
-    # verified by content; distinct content falls back to pixel uploads.
-    # The staged copy is cached across seed GROUPS too: the pickle cache
-    # hands every group the same host ndarray, so one upload serves the
-    # whole fan-out (keyed by object identity, holding the host ref).
+    # stage uint8 images in HBM once (the standalone engine's design):
+    # episodes become device-side gathers from host-sent index vectors.
+    #
+    # Lazy splits (run_seeds passes lazy=True): every seed's novel split
+    # is a LazyRows view over the SAME pickle-cached full array, even
+    # though the per-seed class shuffles select different rows.  Stage the
+    # FULL array once — it serves every seed in every group — and compose
+    # episode indices through each seed's ``sel`` on host (index
+    # arithmetic, no pixels).  Eager splits keep the content-equality
+    # path (one copy serves all only when seeds coincide; distinct
+    # content falls back to per-episode pixel uploads).
+    # The staged copy is cached across seed GROUPS (keyed by host-array
+    # identity, holding the host ref).
     novel_imgs_dev = None
+    novel_sel = None
     _imgs0 = per_seed_samplers[0].base.imgs
-    if all(s.base.imgs is _imgs0 or np.array_equal(s.base.imgs, _imgs0)
-           for s in per_seed_samplers[1:]):
+    if isinstance(_imgs0, LazyRows):
+        full0 = _imgs0.full
+        if all(isinstance(s.base.imgs, LazyRows)
+               and s.base.imgs.full is full0
+               for s in per_seed_samplers[1:]):
+            cached = _novel_stage_cache.get(id(full0))
+            if cached is not None and cached[0] is full0:
+                novel_imgs_dev = cached[1]
+            else:
+                novel_imgs_dev = jnp.asarray(full0)
+                _novel_stage_cache.clear()
+                _novel_stage_cache[id(full0)] = (full0, novel_imgs_dev)
+            novel_sel = [np.asarray(s.base.imgs.sel)
+                         for s in per_seed_samplers]
+    elif all(s.base.imgs is _imgs0 or np.array_equal(s.base.imgs, _imgs0)
+             for s in per_seed_samplers[1:]):
         cached = _novel_stage_cache.get(id(_imgs0))
         if cached is not None and cached[0] is _imgs0:
             novel_imgs_dev = cached[1]
@@ -320,11 +342,19 @@ def few_shot_finetune_multiseed(
             # augment on device, never pull pixels back to host
             k_aug = jax.random.PRNGKey(opt.set_seed * 100003 + idx)
             if novel_imgs_dev is not None and ep.support_idx is not None:
+                sidx = np.asarray(ep.support_idx)
+                qidx = np.asarray(ep.query_idx)
+                if novel_sel is not None:
+                    # lazy split: episode indices are split-local; map
+                    # them into the staged FULL array through this
+                    # seed's selection vector (host index arithmetic)
+                    sidx = novel_sel[s_i][sidx]
+                    qidx = novel_sel[s_i][qidx]
                 sup_u8 = jnp.take(novel_imgs_dev,
-                                  jnp.asarray(ep.support_idx, jnp.int32),
+                                  jnp.asarray(sidx, jnp.int32),
                                   axis=0)
                 qry_u8 = jnp.take(novel_imgs_dev,
-                                  jnp.asarray(ep.query_idx, jnp.int32),
+                                  jnp.asarray(qidx, jnp.int32),
                                   axis=0)
             else:
                 sup_u8 = jnp.asarray(ep.support_x)

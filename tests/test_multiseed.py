@@ -41,13 +41,15 @@ def _make_opt(root, seed):
     return o
 
 
-def _seed_inputs(env, seed, var_seed):
+def _seed_inputs(env, seed, var_seed, lazy=False):
     opt = _make_opt(env["root"], seed)
     base_test = load_mini_imagenet(opt, split="train", phase="test",
-                                   train_per_class=10, val_per_class=2)
+                                   train_per_class=10, val_per_class=2,
+                                   lazy=lazy)
     base_train = load_mini_imagenet(opt, split="train", phase="train",
-                                    train_per_class=10, val_per_class=2)
-    novel = load_mini_imagenet(opt, split="val")
+                                    train_per_class=10, val_per_class=2,
+                                    lazy=lazy)
+    novel = load_mini_imagenet(opt, split="val", lazy=lazy)
     variables = dict(env["backbone"].init(
         jax.random.PRNGKey(var_seed), jnp.zeros((2, 16, 16, 3)), train=False))
     head = head_lib.init_head(jax.random.PRNGKey(var_seed + 50), 60,
@@ -301,3 +303,71 @@ def test_multiseed_shared_host_tree_broadcast_matches_copies(env):
         assert got.epochs_per_session == want.epochs_per_session
         assert got.acc_novel_list == want.acc_novel_list
         assert got.acc_base_list == want.acc_base_list
+
+
+def test_lazy_split_content_and_episodes_match_eager(env):
+    """LazyRows splits must be content-identical to eager gathered splits,
+    and episodes drawn from them byte-identical (incl. the stateful
+    disjoint mode and global index vectors)."""
+    from subspace_reg_tpu.data.mini_imagenet import LazyRows
+
+    opt = _make_opt(env["root"], 5)
+    for split, phase in (("train", "test"), ("train", "train"),
+                         ("val", None)):
+        eager = load_mini_imagenet(opt, split=split, phase=phase,
+                                   train_per_class=10, val_per_class=2)
+        lazy = load_mini_imagenet(opt, split=split, phase=phase,
+                                  train_per_class=10, val_per_class=2,
+                                  lazy=True)
+        assert isinstance(lazy.imgs, LazyRows)
+        assert lazy.labels == eager.labels
+        assert lazy.cat2label == eager.cat2label
+        assert lazy.imgs.shape == eager.imgs.shape
+        assert lazy.imgs.dtype == eager.imgs.dtype
+        np.testing.assert_array_equal(np.asarray(lazy.imgs), eager.imgs)
+        np.testing.assert_array_equal(lazy.imgs[3], eager.imgs[3])
+        np.testing.assert_array_equal(lazy.imgs[2:7], eager.imgs[2:7])
+        idx = np.asarray([0, 4, 2])
+        np.testing.assert_array_equal(lazy.imgs[idx], eager.imgs[idx])
+
+    nv_e = load_mini_imagenet(opt, split="val")
+    nv_l = load_mini_imagenet(opt, split="val", lazy=True)
+    se = EpisodeSampler(nv_e, opt, split="val", disjoint_classes=True)
+    sl = EpisodeSampler(nv_l, opt, split="val", disjoint_classes=True)
+    for item in range(3):
+        a, b = se.get(item), sl.get(item)
+        np.testing.assert_array_equal(a.support_x, b.support_x)
+        np.testing.assert_array_equal(a.query_x, b.query_x)
+        np.testing.assert_array_equal(a.support_y, b.support_y)
+        np.testing.assert_array_equal(a.query_y, b.query_y)
+        np.testing.assert_array_equal(a.support_idx, b.support_idx)
+        np.testing.assert_array_equal(a.query_idx, b.query_idx)
+
+
+def test_multiseed_lazy_splits_match_eager(env):
+    """The lazy-split path (full array staged once on device; episode
+    indices composed through each seed's sel) must be trace-identical to
+    the eager path (per-seed gathered splits, per-episode pixel
+    uploads — seeds select different rows, so eager staging falls back)."""
+    seeds = [3, 6]
+
+    def run(lazy):
+        inputs = [_seed_inputs(env, s, 100 + i, lazy=lazy)
+                  for i, s in enumerate(seeds)]
+        return few_shot_finetune_multiseed(
+            env["backbone"],
+            [inp["variables"] for inp in inputs],
+            [inp["head"] for inp in inputs],
+            [{} for _ in inputs],
+            [inp["opt"] for inp in inputs],
+            [inp["meta_sampler"] for inp in inputs],
+            [inp["base_test"] for inp in inputs],
+            [inp["base_support"] for inp in inputs])
+
+    ms_lazy = run(True)
+    ms_eager = run(False)
+    for got, want in zip(ms_lazy.per_seed, ms_eager.per_seed):
+        assert got.epochs_per_session == want.epochs_per_session
+        assert got.acc_novel_list == want.acc_novel_list
+        assert got.acc_base_list == want.acc_base_list
+        assert got.weighted_avg_l == want.weighted_avg_l

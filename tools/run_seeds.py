@@ -77,9 +77,15 @@ def _run_vmapped(args, rest):
                     init_vars["counters"])
             variables = dict(variables)
             variables["counters"] = _run_vmapped._counters0
-        base_test = load_mini_imagenet(opt, split="train", phase="test")
-        base_train = load_mini_imagenet(opt, split="train", phase="train")
-        novel = load_mini_imagenet(opt, split="val")
+        # lazy=True: splits are LazyRows views over the shared pickle
+        # array — no per-seed gathered copies (~1.1GB of page faults per
+        # seed), and the engine stages the full array on device ONCE for
+        # all seeds and groups, gathering episodes there
+        base_test = load_mini_imagenet(opt, split="train", phase="test",
+                                       lazy=True)
+        base_train = load_mini_imagenet(opt, split="train", phase="train",
+                                        lazy=True)
+        novel = load_mini_imagenet(opt, split="val", lazy=True)
         opts.append(opt)
         variables_l.append(variables)
         heads.append(head)
