@@ -1,0 +1,302 @@
+"""Vmapped multi-seed backbone pretraining — the TPU replacement for the
+reference's Slurm seed array over ``train_supervised.py`` (reference
+scripts/continual/slurm_run_backbone.sh:8,30-40: 10 single-GPU 100-epoch
+jobs, one per ``--set_seed``).
+
+Why vmap instead of 10 sequential runs: the reference pretrains at batch 64
+(configs.py:124), which leaves most of a TPU's MXU idle — one seed's step is
+latency-bound, not FLOP-bound.  vmapping S seeds stacks their (64, 84, 84, 3)
+batches into one program whose convs run at an effective batch of S*64 with
+per-seed weights (XLA lowers the vmapped conv with a batch-group dimension —
+the same pattern the vmapped FSCIL engine's eval forwards already run on
+hardware, engine/multiseed.py), so the fan-out finishes in roughly the wall
+time of ONE run.
+
+Faithfulness contract: each lane reproduces the single-seed trainer exactly —
+
+  * per-seed continual splits (np.random call sequence preserved by
+    ``load_mini_imagenet``; lanes select DIFFERENT rows and carry different
+    label mappings),
+  * per-seed model/head init streams (``PRNGKey(set_seed)``, matching
+    ``train_supervised.py:108-110``),
+  * per-seed epoch shuffles from ``np.random.RandomState(set_seed)``
+    (the DataLoader shuffle contract, train_supervised.py:251,262-270),
+  * per-seed dropout/augment key = ``PRNGKey(set_seed)`` folded with the
+    step counter (engine/pretrain.py step_impl),
+  * per-lane BN batch statistics (vmap keeps each lane's stats separate —
+    the batch-64 BN semantics of the reference are untouched).
+
+Data residency: every seed's split is a ``LazyRows`` view over the SAME
+pickle-cached array (data/mini_imagenet.py), so the engine stages the full
+uint8 array in HBM once and keeps per-seed row selections and labels as
+small device tables; each step ships only an (S, B) index vector.
+
+Scope (asserted): plain-CE pretraining — the golden backbone fan-out
+(slurm_run_backbone.sh has no distill/label_pull flags).  KD/NCE/CRD and
+label_pull stay on the single-seed path.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.mini_imagenet import LazyRows
+from ..data.transforms import transforms_options
+from ..ops import augment as aug_ops
+from ..ops import losses
+from ..utils import optim as optim_lib
+from . import pretrain as pt
+
+# engine-read scalar fields that must agree across lanes (everything except
+# the seed and I/O paths; mirrors the session-program cache philosophy —
+# over-include so a mismatch can only fail loudly, never silently diverge)
+_SHARED_FIELDS = (
+    "model", "dataset", "transform", "continual", "use_trainval",
+    "batch_size", "epochs", "learning_rate", "lr_decay_rate", "cosine",
+    "adam", "weight_decay", "momentum", "linear_bias", "no_dropblock",
+)
+
+
+class MultiseedPretrainResult:
+    def __init__(self, seeds, train_metrics, val_metrics, images_per_sec):
+        self.seeds = list(seeds)
+        # per-epoch lists of per-seed dicts: [{'loss','acc1','acc5'}, ...]
+        self.train_metrics = train_metrics
+        self.val_metrics = val_metrics
+        self.images_per_sec = images_per_sec
+
+
+def _shared_fingerprint(opts) -> None:
+    ref = opts[0]
+    for o in opts[1:]:
+        for f in _SHARED_FIELDS:
+            a, b = getattr(ref, f, None), getattr(o, f, None)
+            assert a == b, (
+                f"multiseed pretraining requires identical configs across "
+                f"seeds; field {f!r} differs: {a!r} vs {b!r}")
+    assert getattr(ref, "label_pull", None) is None, (
+        "label_pull pretraining is single-seed only (per-seed vocab orders "
+        "differ); drop --label_pull or use train_supervised.py per seed")
+    assert getattr(ref, "distill", None) in (None, "", "none"), (
+        "KD/NCE/CRD fan-out is single-seed only; use train_supervised.py")
+    assert not getattr(ref, "faithful_nbt", False), (
+        "--faithful_nbt eval counting is single-seed only")
+    assert not getattr(ref, "eval_only", False)
+
+
+def _stage_splits(splits) -> tuple:
+    """One HBM copy of the shared backing array + per-seed (S, n) row
+    selections.  Eager splits are accepted when every seed got the SAME
+    host array (non-continual loads, where the pickle cache hands one
+    object to all seeds)."""
+    imgs0 = splits[0].imgs
+    if isinstance(imgs0, LazyRows):
+        full = imgs0.full
+        assert all(isinstance(s.imgs, LazyRows) and s.imgs.full is full
+                   for s in splits), (
+            "lazy splits must share one backing array (same data_root); "
+            "load with load_mini_imagenet(..., lazy=True)")
+        sel = np.stack([np.asarray(s.imgs.sel, np.int32) for s in splits])
+    else:
+        assert all(s.imgs is imgs0 for s in splits), (
+            "eager per-seed splits with distinct arrays would upload S "
+            "copies; load with lazy=True")
+        full = imgs0
+        sel = np.broadcast_to(
+            np.arange(len(imgs0), dtype=np.int32), (len(splits), len(imgs0)))
+    labels = np.stack([np.asarray(s.labels, np.int32) for s in splits])
+    assert sel.shape == labels.shape
+    return full, jnp.asarray(sel), jnp.asarray(labels)
+
+
+def pretrain_multiseed(
+        backbone,
+        opts: Sequence[Any],
+        train_splits: Sequence[Any],
+        val_splits: Sequence[Any],
+        n_cls: int,
+        save_fn: Optional[Callable[[int, int, Any, bool], None]] = None,
+        start_states=None,
+        verbose: bool = True,
+        data_device: Optional[jax.Array] = None,
+) -> MultiseedPretrainResult:
+    """Train S seeds in lockstep through one vmapped step program.
+
+    ``save_fn(seed_index, epoch, host_state, final)`` is called at the
+    single-seed trainer's checkpoint cadence (``save_freq`` epochs + final)
+    with an all-numpy ``PretrainState`` for that lane.
+
+    ``data_device`` optionally passes an already-staged device copy of the
+    shared backing array (reused across engine calls; see run_seeds).
+    """
+    S = len(opts)
+    assert S >= 1 and len(train_splits) == len(val_splits) == S
+    _shared_fingerprint(opts)
+    opt0 = opts[0]
+    prt = print if verbose else (lambda *a, **k: None)
+
+    train_spec, test_spec = transforms_options[opt0.transform]
+    img_size = train_splits[0].imgs.shape[1]
+    n_train = len(train_splits[0].labels)
+    assert all(len(s.labels) == n_train for s in train_splits), (
+        "per-seed train splits must be the same size (fixed per-class "
+        "counts make this true for every supported protocol)")
+    n_val = len(val_splits[0].labels)
+    assert all(len(s.labels) == n_val for s in val_splits)
+    steps_per_epoch = n_train // opt0.batch_size
+
+    # ---- optimizer (identical schedule across lanes) --------------------
+    if opt0.cosine:
+        sched = optim_lib.cosine_schedule(
+            opt0.learning_rate, opt0.lr_decay_rate, opt0.epochs,
+            steps_per_epoch)
+    else:
+        sched = optim_lib.step_decay_schedule(
+            opt0.learning_rate, opt0.lr_decay_epochs_list,
+            opt0.lr_decay_rate, steps_per_epoch)
+    if opt0.adam:
+        tx = optim_lib.adam_torch(sched, weight_decay=0.0005)
+    else:
+        tx = optim_lib.sgd_torch(sched, momentum=opt0.momentum,
+                                 weight_decay=opt0.weight_decay)
+
+    # ---- per-lane states (exact single-seed init streams) ---------------
+    if start_states is None:
+        per_seed = [pt.init_pretrain_state(
+            backbone, jax.random.PRNGKey(o.set_seed), n_cls, img_size, tx,
+            with_bias=o.linear_bias) for o in opts]
+        states = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *per_seed)
+        del per_seed
+    else:
+        states = start_states
+
+    # ---- data staging ----------------------------------------------------
+    t0 = time.time()
+    full_train, sel_tr, lab_tr = _stage_splits(train_splits)
+    full_val, sel_va, lab_va = _stage_splits(val_splits)
+    # continual train/val phases share one backing array; stage it once
+    if data_device is not None:
+        data_dev = data_device
+    else:
+        data_dev = jnp.asarray(full_train)
+    if full_val is full_train:
+        val_dev = data_dev
+    else:
+        val_dev = jnp.asarray(full_val)
+    prt(f"==> staged {np.asarray(full_train).nbytes / 1e6:.0f} MB shared "
+        f"store for {S} seeds [{time.time() - t0:.1f}s]")
+
+    # ---- programs ---------------------------------------------------------
+    base = pt.make_train_step(backbone, tx, train_spec,
+                              with_bias=opt0.linear_bias)
+
+    def lane_step(state, sel_row, lab_row, local_idx, rng):
+        gidx = jnp.take(sel_row, local_idx, axis=0)
+        x_u8 = jnp.take(data_dev, gidx, axis=0)
+        y = jnp.take(lab_row, local_idx, axis=0)
+        return base.impl(state, x_u8, y, rng)
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def msd_step(states, local_idxs, rngs):
+        return jax.vmap(lane_step, in_axes=(0, 0, 0, 0, 0))(
+            states, sel_tr, lab_tr, local_idxs, rngs)
+
+    def lane_eval(state, sel_row, lab_row, local_idx):
+        gidx = jnp.take(sel_row, local_idx, axis=0)
+        x = aug_ops.normalize_batch(jnp.take(val_dev, gidx, axis=0),
+                                    test_spec)
+        y = jnp.take(lab_row, local_idx, axis=0)
+        feats = backbone.apply(
+            {"params": state.params["backbone"],
+             "batch_stats": state.batch_stats,
+             "counters": state.counters}, x, train=False)
+        logits = feats @ state.params["head"]["w"].T
+        if opt0.linear_bias:
+            logits = logits + state.params["head"]["b"]
+        loss = losses.cross_entropy(logits, y)
+        acc1, acc5 = losses.accuracy_topk(logits, y)
+        return loss, acc1, acc5
+
+    @jax.jit
+    def msd_eval(states, local_idx):
+        return jax.vmap(lane_eval, in_axes=(0, 0, 0, None))(
+            states, sel_va, lab_va, local_idx)
+
+    rngs = jnp.stack([jax.random.PRNGKey(o.set_seed) for o in opts])
+    shuffles = [np.random.RandomState(o.set_seed) for o in opts]
+    save_freq = int(getattr(opt0, "save_freq", 0) or 0)
+    eval_bs = max(1, opt0.batch_size // 2)
+
+    def pull_lane_states():
+        host = jax.device_get(states)
+        return [jax.tree_util.tree_map(lambda x: np.asarray(x[i]), host)
+                for i in range(S)]
+
+    train_metrics: List[List[dict]] = []
+    val_metrics: List[List[dict]] = []
+    ips_l: List[float] = []
+
+    for epoch in range(1, opt0.epochs + 1):
+        te = time.time()
+        # per-seed DataLoader shuffle (shuffle=True, drop_last=True)
+        end = steps_per_epoch * opt0.batch_size
+        orders = np.stack([rs.permutation(n_train)[:end]
+                           for rs in shuffles]).astype(np.int32)
+        epoch_ms: List[Any] = []
+        for bi in range(steps_per_epoch):
+            li = jnp.asarray(
+                orders[:, bi * opt0.batch_size:(bi + 1) * opt0.batch_size])
+            states, m = msd_step(states, li, rngs)
+            epoch_ms.append(m)
+        # ONE stacked metric pull per epoch (each float() through the relay
+        # costs a ~0.1s round-trip)
+        stacked = jax.device_get(
+            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *epoch_ms))
+        dt = time.time() - te
+        ips = S * steps_per_epoch * opt0.batch_size / dt
+        ips_l.append(ips)
+        train_metrics.append([
+            {k: float(stacked[k][:, i].mean()) for k in stacked}
+            for i in range(S)])
+        if verbose:
+            la = ", ".join(f"s{o.set_seed}:{d['acc1']:.2f}"
+                           for o, d in zip(opts, train_metrics[-1]))
+            prt(f"epoch {epoch} [{dt:.1f}s, {ips:.0f} img/s aggregate] "
+                f"train acc1 {la}")
+
+        # validation, chunked like run_validation (batch_size // 2)
+        tot = np.zeros((3, S))
+        for i in range(0, n_val, eval_bs):
+            idx = jnp.arange(i, min(i + eval_bs, n_val), dtype=jnp.int32)
+            loss, a1, a5 = jax.device_get(msd_eval(states, idx))
+            w = len(idx)
+            tot += np.stack([loss, a1, a5]) * w
+        tot /= n_val
+        val_metrics.append([
+            {"loss": float(tot[0, i]), "acc1": float(tot[1, i]),
+             "acc5": float(tot[2, i])} for i in range(S)])
+        if verbose:
+            la = ", ".join(f"s{o.set_seed}:{d['acc1']:.2f}"
+                           for o, d in zip(opts, val_metrics[-1]))
+            prt(f"  * val acc1 {la}")
+
+        if save_fn is not None and save_freq and epoch % save_freq == 0:
+            for i, hs in enumerate(pull_lane_states()):
+                save_fn(i, epoch, hs, False)
+
+    if save_fn is not None:
+        for i, hs in enumerate(pull_lane_states()):
+            save_fn(i, opt0.epochs, hs, True)
+
+    res = MultiseedPretrainResult([o.set_seed for o in opts],
+                                  train_metrics, val_metrics, ips_l)
+    res.final_states = states
+    return res

@@ -10,6 +10,10 @@ is broken, eval/util.py:42-47).
 Usage:
   python tools/run_seeds.py --seeds 1 2 3 ... -- <eval_incremental args
       without --set_seed>
+
+  # backbone pretraining fan-out (reference slurm_run_backbone.sh:30-40):
+  python tools/run_seeds.py --pretrain --vmap --seeds 1 2 3 ... -- \
+      <train_supervised args without --set_seed>
 """
 
 import argparse
@@ -107,6 +111,76 @@ def _run_vmapped(args, rest):
     return ms.per_seed
 
 
+def _run_pretrain_vmapped(args, rest):
+    """All seeds' backbone pretraining in one vmapped engine execution
+    (engine/multiseed_pretrain.py) — the reference's Slurm array over
+    train_supervised.py (slurm_run_backbone.sh:30-40) in roughly the wall
+    time of one batch-64 run."""
+    import jax
+    import jax.numpy as jnp
+
+    from subspace_reg_tpu.config import parse_option_supervised
+    from subspace_reg_tpu.data.mini_imagenet import load_mini_imagenet
+    from subspace_reg_tpu.engine.multiseed_pretrain import pretrain_multiseed
+    from subspace_reg_tpu.models.factory import create_model
+    from subspace_reg_tpu.models.head import Head
+    from subspace_reg_tpu.utils.checkpoint import save_checkpoint
+
+    opts, trains, vals = [], [], []
+    for seed in args.seeds:
+        argv = rest + ["--set_seed", str(seed)]
+        if args.model_path_pattern:
+            argv += ["--model_path",
+                     args.model_path_pattern.format(seed=seed)]
+        opt = parse_option_supervised(argv)
+        if not args.model_path_pattern:
+            # one fan-out root, per-seed subdirs (the Slurm script's
+            # ${SLURM_ARRAY_TASK_ID} directory layout)
+            opt.save_folder = os.path.join(opt.save_folder, f"seed_{seed}")
+            os.makedirs(opt.save_folder, exist_ok=True)
+        assert opt.dataset == "miniImageNet" and opt.continual, (
+            "--pretrain --vmap serves the golden miniImageNet continual "
+            "backbone fan-out; other datasets/protocols run per seed via "
+            "train_supervised.py (drop --vmap)")
+        # lazy=True: per-seed continual splits are LazyRows views over ONE
+        # pickle-cached array; the engine stages it in HBM once for all
+        # seeds and keeps per-seed rows/labels as small device tables
+        trains.append(load_mini_imagenet(opt, split="train", phase="train",
+                                         lazy=True))
+        vals.append(load_mini_imagenet(opt, split="train", phase="val",
+                                       lazy=True))
+        opts.append(opt)
+
+    opt0 = opts[0]
+    n_cls = 80 if opt0.use_trainval else 60
+    backbone = create_model(opt0.model, n_cls, opt0, dataset=opt0.dataset,
+                            dtype=jnp.bfloat16)
+
+    def save_fn(i, epoch, hs, final):
+        # reference checkpoint contract (train_supervised.py:186-201):
+        # training_classes (= basec_map) + label2human, optimizer state for
+        # --reload_path resume
+        opt, split = opts[i], trains[i]
+        meta = {"training_classes": split.basec_map,
+                "label2human": split.label2human, "epoch": epoch}
+        variables = {"params": hs.params["backbone"],
+                     "batch_stats": hs.batch_stats,
+                     "counters": hs.counters}
+        b = (jnp.asarray(hs.params["head"]["b"])
+             if opt.linear_bias else None)
+        head = Head(weight=jnp.asarray(hs.params["head"]["w"]), bias=b,
+                    n_active=jnp.asarray(n_cls, jnp.int32))
+        name = (f"{opt.model}_last.ckpt" if final
+                else f"ckpt_epoch_{epoch}.ckpt")
+        save_checkpoint(os.path.join(opt.save_folder, name), variables,
+                        head, meta,
+                        extra={"opt_state": hs.opt_state, "step": hs.step})
+        print(f"==> Saved {name} (seed {opt.set_seed})")
+
+    return pretrain_multiseed(backbone, opts, trains, vals, n_cls,
+                              save_fn=save_fn)
+
+
 def main(argv=None):
     from subspace_reg_tpu.utils.jax_setup import configure as _jc
     _jc()
@@ -123,6 +197,10 @@ def main(argv=None):
                    help="optional per-seed checkpoint pattern with {seed}")
     p.add_argument("--vmap", action="store_true",
                    help="batch all seeds through one vmapped engine run")
+    p.add_argument("--pretrain", action="store_true",
+                   help="fan out BACKBONE PRETRAINING over seeds (rest "
+                        "args go to train_supervised); with --vmap all "
+                        "seeds train in one vmapped program")
     p.add_argument("--pallas", type=str, default="auto",
                    choices=("auto", "on", "off", "interpret"),
                    help="fused fine-tune kernel mode for the vmapped "
@@ -134,6 +212,44 @@ def main(argv=None):
                         "cannot be chunked without changing BN batch-stat "
                         "semantics)")
     args = p.parse_args(own)
+
+    if args.pretrain:
+        out = {"seeds": args.seeds, "val_acc1": {}}
+        if args.vmap:
+            import copy as _copy
+            import time as _time
+            group = args.seed_batch or len(args.seeds)
+            for lo in range(0, len(args.seeds), group):
+                gargs = _copy.copy(args)
+                gargs.seeds = args.seeds[lo:lo + group]
+                if len(args.seeds) > group:
+                    print(f"===== vmapped pretrain group {gargs.seeds} "
+                          f"=====", flush=True)
+                g0 = _time.time()
+                res = _run_pretrain_vmapped(gargs, rest)
+                print(f"[group {gargs.seeds} wall "
+                      f"{_time.time() - g0:.1f}s; aggregate "
+                      f"{np.mean(res.images_per_sec):.0f} img/s]",
+                      flush=True)
+                for s, vm in zip(gargs.seeds, res.val_metrics[-1]):
+                    out["val_acc1"][s] = vm["acc1"]
+        else:
+            import train_supervised
+            for seed in args.seeds:
+                seed_argv = rest + ["--set_seed", str(seed)]
+                if args.model_path_pattern:
+                    seed_argv += ["--model_path",
+                                  args.model_path_pattern.format(seed=seed)]
+                elif "--model_path" in rest:
+                    # per-seed subdirs so sequential runs don't clobber
+                    # each other's <model>_last.ckpt
+                    mp = rest[rest.index("--model_path") + 1]
+                    seed_argv += ["--model_path",
+                                  os.path.join(mp, f"seed_{seed}")]
+                print(f"===== pretrain seed {seed} =====", flush=True)
+                train_supervised.main(seed_argv)
+        print(json.dumps(out, indent=2, default=float))
+        return out
 
     novel_all, base_all, weighted_all = [], [], []
     if args.vmap:
