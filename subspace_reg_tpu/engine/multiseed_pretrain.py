@@ -124,6 +124,7 @@ def pretrain_multiseed(
         start_states=None,
         verbose: bool = True,
         data_device: Optional[jax.Array] = None,
+        shard_over_devices: bool = False,
 ) -> MultiseedPretrainResult:
     """Train S seeds in lockstep through one vmapped step program.
 
@@ -133,12 +134,31 @@ def pretrain_multiseed(
 
     ``data_device`` optionally passes an already-staged device copy of the
     shared backing array (reused across engine calls; see run_seeds).
+
+    ``shard_over_devices=True`` lays the seed axis over a 1-D device mesh
+    (the shared image store replicates; each chip trains its share of the
+    seed batch) — the pod-level counterpart of the reference's Slurm
+    backbone array, same pattern as the eval engine's seed sharding.
     """
     S = len(opts)
     assert S >= 1 and len(train_splits) == len(val_splits) == S
     _shared_fingerprint(opts)
     opt0 = opts[0]
     prt = print if verbose else (lambda *a, **k: None)
+
+    seed_sharding = data_sharding = None
+    if shard_over_devices:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        n_dev = max(d for d in range(1, jax.device_count() + 1)
+                    if S % d == 0)
+        dev_mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("seed",))
+        seed_sharding = NamedSharding(dev_mesh, P("seed"))
+        data_sharding = NamedSharding(dev_mesh, P())
+        prt(f"==> sharding {S} seeds over {n_dev} devices")
+
+    def shard_lanes(x):
+        return x if seed_sharding is None else jax.device_put(
+            x, seed_sharding)
 
     train_spec, test_spec = transforms_options[opt0.transform]
     img_size = train_splits[0].imgs.shape[1]
@@ -171,7 +191,7 @@ def pretrain_multiseed(
             backbone, jax.random.PRNGKey(o.set_seed), n_cls, img_size, tx,
             with_bias=o.linear_bias) for o in opts]
         states = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *per_seed)
+            lambda *xs: shard_lanes(jnp.stack(xs)), *per_seed)
         del per_seed
     else:
         states = start_states
@@ -180,13 +200,20 @@ def pretrain_multiseed(
     t0 = time.time()
     full_train, sel_tr, lab_tr = _stage_splits(train_splits)
     full_val, sel_va, lab_va = _stage_splits(val_splits)
+    sel_tr, lab_tr = shard_lanes(sel_tr), shard_lanes(lab_tr)
+    sel_va, lab_va = shard_lanes(sel_va), shard_lanes(lab_va)
     # continual train/val phases share one backing array; stage it once
+    # (replicated across the seed mesh — every chip gathers locally)
     if data_device is not None:
         data_dev = data_device
+    elif data_sharding is not None:
+        data_dev = jax.device_put(np.asarray(full_train), data_sharding)
     else:
         data_dev = jnp.asarray(full_train)
     if full_val is full_train:
         val_dev = data_dev
+    elif data_sharding is not None:
+        val_dev = jax.device_put(np.asarray(full_val), data_sharding)
     else:
         val_dev = jnp.asarray(full_val)
     prt(f"==> staged {np.asarray(full_train).nbytes / 1e6:.0f} MB shared "
@@ -230,7 +257,8 @@ def pretrain_multiseed(
         return jax.vmap(lane_eval, in_axes=(0, 0, 0, None))(
             states, sel_va, lab_va, local_idx)
 
-    rngs = jnp.stack([jax.random.PRNGKey(o.set_seed) for o in opts])
+    rngs = shard_lanes(jnp.stack([jax.random.PRNGKey(o.set_seed)
+                                  for o in opts]))
     shuffles = [np.random.RandomState(o.set_seed) for o in opts]
     save_freq = int(getattr(opt0, "save_freq", 0) or 0)
     eval_bs = max(1, opt0.batch_size // 2)
@@ -252,8 +280,8 @@ def pretrain_multiseed(
                            for rs in shuffles]).astype(np.int32)
         epoch_ms: List[Any] = []
         for bi in range(steps_per_epoch):
-            li = jnp.asarray(
-                orders[:, bi * opt0.batch_size:(bi + 1) * opt0.batch_size])
+            li = shard_lanes(jnp.asarray(
+                orders[:, bi * opt0.batch_size:(bi + 1) * opt0.batch_size]))
             states, m = msd_step(states, li, rngs)
             epoch_ms.append(m)
         # ONE stacked metric pull per epoch (each float() through the relay

@@ -173,6 +173,27 @@ def test_pretrain_multiseed_multi_epoch_tracks_single_seeds(env):
                    for v in d.values())
 
 
+def test_pretrain_multiseed_sharded_over_devices(env):
+    """Pod-style seed sharding over the virtual 8-device mesh must compile,
+    execute, and stay in the single-lane ballpark (partitioned programs
+    reassociate float reductions — execution/sanity check, same policy as
+    the eval engine's sharded test)."""
+    seeds = [3, 6]
+    opts = [_opt(env["root"], s) for s in seeds]
+    for o in opts:
+        o.epochs = 1
+    lazy = [_splits(o, lazy=True) for o in opts]
+
+    ms = pretrain_multiseed(env["backbone"], opts,
+                            [t for t, _ in lazy], [v for _, v in lazy],
+                            N_CLS, verbose=False, shard_over_devices=True)
+    assert len(ms.val_metrics) == 1
+    for i in range(2):
+        assert int(np.asarray(ms.final_states.step)[i]) == 12
+        for v in ms.val_metrics[-1][i].values():
+            assert np.isfinite(v)
+
+
 def test_pretrain_multiseed_rejects_mismatched_configs(env):
     opts = [_opt(env["root"], 1), _opt(env["root"], 2)]
     opts[1].learning_rate = 0.01

@@ -178,7 +178,8 @@ def _run_pretrain_vmapped(args, rest):
         print(f"==> Saved {name} (seed {opt.set_seed})")
 
     return pretrain_multiseed(backbone, opts, trains, vals, n_cls,
-                              save_fn=save_fn)
+                              save_fn=save_fn,
+                              shard_over_devices=args.shard_seeds)
 
 
 def main(argv=None):
@@ -201,6 +202,10 @@ def main(argv=None):
                    help="fan out BACKBONE PRETRAINING over seeds (rest "
                         "args go to train_supervised); with --vmap all "
                         "seeds train in one vmapped program")
+    p.add_argument("--shard_seeds", action="store_true",
+                   help="with --pretrain --vmap: lay the seed axis over "
+                        "a 1-D device mesh (pod-scale fan-out; the image "
+                        "store replicates per chip)")
     p.add_argument("--pallas", type=str, default="auto",
                    choices=("auto", "on", "off", "interpret"),
                    help="fused fine-tune kernel mode for the vmapped "
