@@ -1,20 +1,30 @@
 #!/bin/bash
 # Backbone pretraining over seeds (TPU counterpart of the reference's
 # scripts/continual/slurm_run_backbone.sh:30-40 Slurm array).
-# One TPU chip replaces the per-seed V100; seeds run sequentially here —
-# use SEEDS="1 2 3" to shard across hosts.
+#
+# Default: ALL seeds train simultaneously on one chip through the vmapped
+# multi-seed engine (batch-64 lanes fill the MXU together; see
+# engine/multiseed_pretrain.py).  VMAP=0 falls back to sequential
+# single-seed runs (one chip replaces the per-seed V100); use
+# SEEDS="1 2 3" to shard across hosts either way.
 set -e
 CURRENT="$PWD"
 DUMPED_PATH="${DUMPED_PATH:-$CURRENT/dumped}"
 DATA_PATH="${DATA_PATH:-$CURRENT/data}"
 SEEDS="${SEEDS:-1 2 3 4 5 6 7 8 9 10}"
+VMAP="${VMAP:-1}"
+SEED_BATCH="${SEED_BATCH:-5}"   # HBM bound; 5 lanes fit a v5e comfortably
 
-for SEED in $SEEDS; do
-  EXP_FOLDER="$DUMPED_PATH/backbones/continual/resnet18/$SEED"
-  mkdir -p "$EXP_FOLDER"
-  python train_supervised.py --trial "pretrain_$SEED" \
-      --model_path "$EXP_FOLDER" \
-      --tb_path "$EXP_FOLDER/tb" \
+BASE="$DUMPED_PATH/backbones/continual/resnet18"
+mkdir -p "$BASE"
+
+if [ "$VMAP" = "1" ]; then
+  python tools/run_seeds.py --pretrain --vmap --seed_batch "$SEED_BATCH" \
+      --seeds $SEEDS \
+      --model_path_pattern "$BASE/{seed}" -- \
+      --trial pretrain \
+      --model_path "$BASE" \
+      --tb_path "$BASE/tb" \
       --data_root "$DATA_PATH" \
       --classifier linear \
       --model resnet18 \
@@ -22,6 +32,22 @@ for SEED in $SEEDS; do
       --continual \
       --no_dropblock \
       --no_linear_bias \
-      --set_seed "$SEED" \
-      > "$EXP_FOLDER/train.out" 2> "$EXP_FOLDER/train.err"
-done
+      > "$BASE/train.out" 2> "$BASE/train.err"
+else
+  for SEED in $SEEDS; do
+    EXP_FOLDER="$BASE/$SEED"
+    mkdir -p "$EXP_FOLDER"
+    python train_supervised.py --trial "pretrain_$SEED" \
+        --model_path "$EXP_FOLDER" \
+        --tb_path "$EXP_FOLDER/tb" \
+        --data_root "$DATA_PATH" \
+        --classifier linear \
+        --model resnet18 \
+        --save_freq 100 \
+        --continual \
+        --no_dropblock \
+        --no_linear_bias \
+        --set_seed "$SEED" \
+        > "$EXP_FOLDER/train.out" 2> "$EXP_FOLDER/train.err"
+  done
+fi

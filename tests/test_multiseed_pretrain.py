@@ -252,6 +252,14 @@ def test_run_seeds_pretrain_cli(env, tmp_path, monkeypatch):
         assert meta["epoch"] == 1
         assert len(meta["training_classes"]) == 60
         assert "batch_stats" in variables and "params" in variables
+        # per-seed metric logs with the single-seed trainer's scalar names
+        import json
+        mpath = os.path.join(out_dir, "save", f"seed_{seed}", "tb",
+                             "metrics.jsonl")
+        assert os.path.exists(mpath), mpath
+        names = {json.loads(l)["name"] for l in open(mpath)}
+        assert {"train_acc", "train_loss", "test_acc", "test_acc_top5",
+                "test_loss", "images_per_sec"} <= names
     # per-seed splits differ, so the two checkpoints must too
     import pickle
     a = open(os.path.join(out_dir, "save", "seed_1",

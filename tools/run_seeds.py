@@ -177,9 +177,28 @@ def _run_pretrain_vmapped(args, rest):
                         extra={"opt_state": hs.opt_state, "step": hs.step})
         print(f"==> Saved {name} (seed {opt.set_seed})")
 
-    return pretrain_multiseed(backbone, opts, trains, vals, n_cls,
-                              save_fn=save_fn,
-                              shard_over_devices=args.shard_seeds)
+    res = pretrain_multiseed(backbone, opts, trains, vals, n_cls,
+                             save_fn=save_fn,
+                             shard_over_devices=args.shard_seeds)
+
+    # per-seed metric logs with the single-seed trainer's scalar names
+    # (train_supervised.py:405-416; tb_path is shared in fan-out mode, so
+    # each seed logs under its own save_folder)
+    from subspace_reg_tpu.utils.logging import MetricWriter
+    for i, opt in enumerate(opts):
+        w = MetricWriter(os.path.join(opt.save_folder, "tb"))
+        for ep0, (tm, vm) in enumerate(zip(res.train_metrics,
+                                           res.val_metrics)):
+            epoch = ep0 + 1
+            w.log_value("train_acc", tm[i]["acc1"], epoch)
+            w.log_value("train_loss", tm[i]["loss"], epoch)
+            # aggregate across lanes (one program trains all seeds)
+            w.log_value("images_per_sec", res.images_per_sec[ep0], epoch)
+            w.log_value("test_acc", vm[i]["acc1"], epoch)
+            w.log_value("test_acc_top5", vm[i]["acc5"], epoch)
+            w.log_value("test_loss", vm[i]["loss"], epoch)
+        w.close()
+    return res
 
 
 def main(argv=None):
