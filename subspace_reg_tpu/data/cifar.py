@@ -48,7 +48,8 @@ def load_cifar(opt, partition: str = "train") -> SplitData:
 def load_cifar_continual(opt, split: str = "train",
                          phase: Optional[str] = None,
                          train_per_class: int = 400,
-                         val_per_class: int = 50) -> SplitData:
+                         val_per_class: int = 50,
+                         lazy: bool = False) -> SplitData:
     """Multi-session FSCIL protocol on CIFAR-100 — a capability the
     reference declares but never wires (eval_incremental.py:82-83 raises for
     CIFAR).  Reuses the miniImageNet continual split semantics (same 60/40
@@ -59,9 +60,12 @@ def load_cifar_continual(opt, split: str = "train",
     data = load_pickle_latin1(os.path.join(opt.data_root, "all.pickle"))
     imgs = data["data"]
     cat2label = dict(data.get("catname2label", {}))
+    # lazy=True returns a LazyRows view over the shared pickle-cached
+    # array (multi-seed fan-outs stage it on device once; see
+    # data/mini_imagenet.py LazyRows)
     imgs, labels, cat2label, basec_map = continual_split(
         imgs, data["labels"], cat2label, split, phase,
-        train_per_class, val_per_class)
+        train_per_class, val_per_class, lazy=lazy)
 
     n_classes = 100
     label2human = [""] * n_classes

@@ -204,6 +204,46 @@ def test_pretrain_multiseed_rejects_mismatched_configs(env):
                            N_CLS, verbose=False)
 
 
+def test_pretrain_multiseed_cifar_continual(tmp_path_factory):
+    """The fan-out engine serves the CIFAR continual protocol: lazy splits
+    are content-identical to eager ones and a 2-seed epoch runs."""
+    from subspace_reg_tpu.data.cifar import load_cifar_continual
+
+    root = str(tmp_path_factory.mktemp("cifar_msp"))
+    synthetic.make_cifar(root, n_classes=100, per_class=20, seed=0)
+    backbone = ResNetRFS(n_blocks=(1, 1, 1, 1), drop_rate=0.1,
+                         no_dropblock=True, avg_pool=True,
+                         widths=(8, 16, 24, 32))
+
+    opts = [_opt(root, s) for s in (2, 5)]
+    for o in opts:
+        o.dataset = "CIFAR-FS"
+        o.epochs = 1
+
+    def splits(o, lazy):
+        tr = load_cifar_continual(o, split="train", phase="train",
+                                  train_per_class=10, val_per_class=2,
+                                  lazy=lazy)
+        va = load_cifar_continual(o, split="train", phase="val",
+                                  train_per_class=10, val_per_class=2,
+                                  lazy=lazy)
+        return tr, va
+
+    for o in opts:
+        (ltr, lva), (etr, eva) = splits(o, True), splits(o, False)
+        assert ltr.labels == etr.labels and lva.labels == eva.labels
+        np.testing.assert_array_equal(np.asarray(ltr.imgs), etr.imgs)
+        np.testing.assert_array_equal(np.asarray(lva.imgs), eva.imgs)
+
+    lazy = [splits(o, True) for o in opts]
+    ms = pretrain_multiseed(backbone, opts,
+                            [t for t, _ in lazy], [v for _, v in lazy],
+                            N_CLS, verbose=False)
+    for i in range(2):
+        assert int(np.asarray(ms.final_states.step)[i]) == 12
+        assert all(np.isfinite(v) for v in ms.val_metrics[-1][i].values())
+
+
 def test_run_seeds_pretrain_cli(env, tmp_path, monkeypatch):
     """The --pretrain --vmap CLI writes per-seed reference-contract
     checkpoints and reports per-seed val accuracy."""

@@ -138,21 +138,32 @@ def _run_pretrain_vmapped(args, rest):
             # ${SLURM_ARRAY_TASK_ID} directory layout)
             opt.save_folder = os.path.join(opt.save_folder, f"seed_{seed}")
             os.makedirs(opt.save_folder, exist_ok=True)
-        assert opt.dataset == "miniImageNet" and opt.continual, (
-            "--pretrain --vmap serves the golden miniImageNet continual "
-            "backbone fan-out; other datasets/protocols run per seed via "
-            "train_supervised.py (drop --vmap)")
         # lazy=True: per-seed continual splits are LazyRows views over ONE
         # pickle-cached array; the engine stages it in HBM once for all
         # seeds and keeps per-seed rows/labels as small device tables
-        trains.append(load_mini_imagenet(opt, split="train", phase="train",
-                                         lazy=True))
-        vals.append(load_mini_imagenet(opt, split="train", phase="val",
-                                       lazy=True))
+        if opt.dataset == "miniImageNet" and opt.continual:
+            trains.append(load_mini_imagenet(opt, split="train",
+                                             phase="train", lazy=True))
+            vals.append(load_mini_imagenet(opt, split="train", phase="val",
+                                           lazy=True))
+        elif opt.dataset in ("CIFAR-FS", "FC100") and opt.continual:
+            from subspace_reg_tpu.data.cifar import load_cifar_continual
+            trains.append(load_cifar_continual(opt, split="train",
+                                               phase="train", lazy=True))
+            vals.append(load_cifar_continual(opt, split="train",
+                                             phase="val", lazy=True))
+        else:
+            raise AssertionError(
+                "--pretrain --vmap serves the continual backbone fan-outs "
+                "(miniImageNet golden, CIFAR); other datasets/protocols "
+                "run per seed via train_supervised.py (drop --vmap)")
         opts.append(opt)
 
     opt0 = opts[0]
-    n_cls = 80 if opt0.use_trainval else 60
+    if opt0.dataset == "miniImageNet":
+        n_cls = 80 if opt0.use_trainval else 60
+    else:
+        n_cls = 60   # CIFAR continual (train_supervised.py:64)
     backbone = create_model(opt0.model, n_cls, opt0, dataset=opt0.dataset,
                             dtype=jnp.bfloat16)
 
