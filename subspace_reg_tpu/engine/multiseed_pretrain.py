@@ -62,6 +62,30 @@ _SHARED_FIELDS = (
 )
 
 
+# staged-array cache across seed GROUPS (keyed by host-array identity,
+# holding the host ref — the pickle cache hands every group the same
+# ndarray, so one ~GB upload serves the whole fan-out; same design as the
+# eval engine's _novel_stage_cache)
+_stage_cache: dict = {}
+
+# traced-program cache across engine invocations, keyed on the schedule/
+# geometry fingerprint (see pkey below)
+_program_cache: dict = {}
+
+
+def _stage_shared(full, data_sharding):
+    if data_sharding is not None:   # sharded puts are mesh-specific
+        return jax.device_put(np.asarray(full), data_sharding)
+    cached = _stage_cache.get(id(full))
+    if cached is not None and cached[0] is full:
+        return cached[1]
+    dev = jnp.asarray(full)
+    while len(_stage_cache) >= 2:   # train + val may differ; avoid thrash
+        _stage_cache.pop(next(iter(_stage_cache)))
+    _stage_cache[id(full)] = (full, dev)
+    return dev
+
+
 class MultiseedPretrainResult:
     def __init__(self, seeds, train_metrics, val_metrics, images_per_sec):
         self.seeds = list(seeds)
@@ -206,56 +230,68 @@ def pretrain_multiseed(
     # (replicated across the seed mesh — every chip gathers locally)
     if data_device is not None:
         data_dev = data_device
-    elif data_sharding is not None:
-        data_dev = jax.device_put(np.asarray(full_train), data_sharding)
     else:
-        data_dev = jnp.asarray(full_train)
-    if full_val is full_train:
-        val_dev = data_dev
-    elif data_sharding is not None:
-        val_dev = jax.device_put(np.asarray(full_val), data_sharding)
-    else:
-        val_dev = jnp.asarray(full_val)
+        data_dev = _stage_shared(full_train, data_sharding)
+    val_dev = (data_dev if full_val is full_train
+               else _stage_shared(full_val, data_sharding))
     prt(f"==> staged {np.asarray(full_train).nbytes / 1e6:.0f} MB shared "
         f"store for {S} seeds [{time.time() - t0:.1f}s]")
 
     # ---- programs ---------------------------------------------------------
-    base = pt.make_train_step(backbone, tx, train_spec,
-                              with_bias=opt0.linear_bias)
+    # memoized across engine invocations (seed GROUPS of one fan-out):
+    # data/selection/label tables are arguments, not closures, so group 2+
+    # hits both the trace cache and the compile cache — the eval engine's
+    # session-program-cache lesson (a warm retrace costs ~11s through the
+    # relay).  The key is the schedule/geometry fingerprint; tx is rebuilt
+    # per call but identical given the key.
+    pkey = (backbone, opt0.linear_bias, train_spec, test_spec,
+            opt0.cosine, opt0.adam, float(opt0.learning_rate),
+            float(opt0.lr_decay_rate), float(opt0.weight_decay),
+            float(opt0.momentum), tuple(opt0.lr_decay_epochs_list),
+            int(opt0.epochs), steps_per_epoch)
+    cached = _program_cache.get(pkey)
+    if cached is None:
+        base = pt.make_train_step(backbone, tx, train_spec,
+                                  with_bias=opt0.linear_bias)
+        from functools import partial
 
-    def lane_step(state, sel_row, lab_row, local_idx, rng):
-        gidx = jnp.take(sel_row, local_idx, axis=0)
-        x_u8 = jnp.take(data_dev, gidx, axis=0)
-        y = jnp.take(lab_row, local_idx, axis=0)
-        return base.impl(state, x_u8, y, rng)
+        def lane_step(state, data_u8, sel_row, lab_row, local_idx, rng):
+            gidx = jnp.take(sel_row, local_idx, axis=0)
+            x_u8 = jnp.take(data_u8, gidx, axis=0)
+            y = jnp.take(lab_row, local_idx, axis=0)
+            return base.impl(state, x_u8, y, rng)
 
-    from functools import partial
+        @partial(jax.jit, donate_argnums=(0,))
+        def msd_step(states, data_u8, sel, lab, local_idxs, rngs):
+            return jax.vmap(lane_step, in_axes=(0, None, 0, 0, 0, 0))(
+                states, data_u8, sel, lab, local_idxs, rngs)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def msd_step(states, local_idxs, rngs):
-        return jax.vmap(lane_step, in_axes=(0, 0, 0, 0, 0))(
-            states, sel_tr, lab_tr, local_idxs, rngs)
+        def lane_eval(state, data_u8, sel_row, lab_row, local_idx):
+            gidx = jnp.take(sel_row, local_idx, axis=0)
+            x = aug_ops.normalize_batch(jnp.take(data_u8, gidx, axis=0),
+                                        test_spec)
+            y = jnp.take(lab_row, local_idx, axis=0)
+            feats = backbone.apply(
+                {"params": state.params["backbone"],
+                 "batch_stats": state.batch_stats,
+                 "counters": state.counters}, x, train=False)
+            logits = feats @ state.params["head"]["w"].T
+            if opt0.linear_bias:
+                logits = logits + state.params["head"]["b"]
+            loss = losses.cross_entropy(logits, y)
+            acc1, acc5 = losses.accuracy_topk(logits, y)
+            return loss, acc1, acc5
 
-    def lane_eval(state, sel_row, lab_row, local_idx):
-        gidx = jnp.take(sel_row, local_idx, axis=0)
-        x = aug_ops.normalize_batch(jnp.take(val_dev, gidx, axis=0),
-                                    test_spec)
-        y = jnp.take(lab_row, local_idx, axis=0)
-        feats = backbone.apply(
-            {"params": state.params["backbone"],
-             "batch_stats": state.batch_stats,
-             "counters": state.counters}, x, train=False)
-        logits = feats @ state.params["head"]["w"].T
-        if opt0.linear_bias:
-            logits = logits + state.params["head"]["b"]
-        loss = losses.cross_entropy(logits, y)
-        acc1, acc5 = losses.accuracy_topk(logits, y)
-        return loss, acc1, acc5
+        @jax.jit
+        def msd_eval(states, data_u8, sel, lab, local_idx):
+            return jax.vmap(lane_eval, in_axes=(0, None, 0, 0, None))(
+                states, data_u8, sel, lab, local_idx)
 
-    @jax.jit
-    def msd_eval(states, local_idx):
-        return jax.vmap(lane_eval, in_axes=(0, 0, 0, None))(
-            states, sel_va, lab_va, local_idx)
+        cached = (msd_step, msd_eval)
+        while len(_program_cache) >= 4:
+            _program_cache.pop(next(iter(_program_cache)))
+        _program_cache[pkey] = cached
+    msd_step, msd_eval = cached
 
     rngs = shard_lanes(jnp.stack([jax.random.PRNGKey(o.set_seed)
                                   for o in opts]))
@@ -282,7 +318,8 @@ def pretrain_multiseed(
         for bi in range(steps_per_epoch):
             li = shard_lanes(jnp.asarray(
                 orders[:, bi * opt0.batch_size:(bi + 1) * opt0.batch_size]))
-            states, m = msd_step(states, li, rngs)
+            states, m = msd_step(states, data_dev, sel_tr, lab_tr, li,
+                                 rngs)
             epoch_ms.append(m)
         # ONE stacked metric pull per epoch (each float() through the relay
         # costs a ~0.1s round-trip)
@@ -304,7 +341,8 @@ def pretrain_multiseed(
         tot = np.zeros((3, S))
         for i in range(0, n_val, eval_bs):
             idx = jnp.arange(i, min(i + eval_bs, n_val), dtype=jnp.int32)
-            loss, a1, a5 = jax.device_get(msd_eval(states, idx))
+            loss, a1, a5 = jax.device_get(
+                msd_eval(states, val_dev, sel_va, lab_va, idx))
             w = len(idx)
             tot += np.stack([loss, a1, a5]) * w
         tot /= n_val
