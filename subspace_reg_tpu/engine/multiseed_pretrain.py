@@ -57,8 +57,9 @@ from . import pretrain as pt
 # over-include so a mismatch can only fail loudly, never silently diverge)
 _SHARED_FIELDS = (
     "model", "dataset", "transform", "continual", "use_trainval",
-    "batch_size", "epochs", "learning_rate", "lr_decay_rate", "cosine",
-    "adam", "weight_decay", "momentum", "linear_bias", "no_dropblock",
+    "batch_size", "epochs", "learning_rate", "lr_decay_rate",
+    "lr_decay_epochs_list", "cosine", "adam", "weight_decay", "momentum",
+    "linear_bias", "no_dropblock", "save_freq",
 )
 
 
@@ -74,15 +75,22 @@ _program_cache: dict = {}
 
 
 def _stage_shared(full, data_sharding):
-    if data_sharding is not None:   # sharded puts are mesh-specific
-        return jax.device_put(np.asarray(full), data_sharding)
-    cached = _stage_cache.get(id(full))
+    # sharded puts are keyed by the device set too: successive groups of a
+    # --shard_seeds fan-out build equal meshes over the same chips, so the
+    # replicated store is reusable; a different device set misses
+    devs = (None if data_sharding is None else
+            tuple(sorted(d.id for d in data_sharding.mesh.devices.flat)))
+    key = (id(full), devs)
+    cached = _stage_cache.get(key)
     if cached is not None and cached[0] is full:
         return cached[1]
-    dev = jnp.asarray(full)
+    if data_sharding is not None:
+        dev = jax.device_put(np.asarray(full), data_sharding)
+    else:
+        dev = jnp.asarray(full)
     while len(_stage_cache) >= 2:   # train + val may differ; avoid thrash
         _stage_cache.pop(next(iter(_stage_cache)))
-    _stage_cache[id(full)] = (full, dev)
+    _stage_cache[key] = (full, dev)
     return dev
 
 

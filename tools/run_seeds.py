@@ -281,6 +281,11 @@ def main(argv=None):
                     mp = rest[rest.index("--model_path") + 1]
                     seed_argv += ["--model_path",
                                   os.path.join(mp, f"seed_{seed}")]
+                else:
+                    raise SystemExit(
+                        "--pretrain needs --model_path_pattern or a "
+                        "--model_path after -- (per-seed checkpoints "
+                        "would otherwise collide)")
                 print(f"===== pretrain seed {seed} =====", flush=True)
                 train_supervised.main(seed_argv)
         print(json.dumps(out, indent=2, default=float))
