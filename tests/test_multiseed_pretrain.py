@@ -204,6 +204,36 @@ def test_pretrain_multiseed_rejects_mismatched_configs(env):
                            N_CLS, verbose=False)
 
 
+def test_pretrain_multiseed_program_cache_across_groups(env):
+    """Seed group 2 of a fan-out must reuse group 1's traced programs and
+    staged image store (jit keys on function identity: a rebuilt closure
+    retraces the whole step program — ~11s through the relay)."""
+    from subspace_reg_tpu.engine import multiseed_pretrain as msp
+
+    def run(seeds):
+        opts = [_opt(env["root"], s) for s in seeds]
+        for o in opts:
+            o.epochs = 1
+        lazy = [_splits(o, lazy=True) for o in opts]
+        return pretrain_multiseed(env["backbone"], opts,
+                                  [t for t, _ in lazy],
+                                  [v for _, v in lazy],
+                                  N_CLS, verbose=False)
+
+    msp._program_cache.clear()
+    msp._stage_cache.clear()
+    run([3, 6])
+    progs1 = dict(msp._program_cache)
+    stages1 = {k: v[1] for k, v in msp._stage_cache.items()}
+    run([7, 9])   # same config, different seeds = group 2
+    assert len(msp._program_cache) == 1
+    assert dict(msp._program_cache) == progs1          # same program objects
+    assert {k: v[1] for k, v in msp._stage_cache.items()} == stages1
+    step_fn = next(iter(progs1.values()))[0]
+    # one trace served both groups (same shapes/dtypes/shardings)
+    assert step_fn._cache_size() == 1
+
+
 def test_pretrain_multiseed_cifar_continual(tmp_path_factory):
     """The fan-out engine serves the CIFAR continual protocol: lazy splits
     are content-identical to eager ones and a 2-seed epoch runs."""
