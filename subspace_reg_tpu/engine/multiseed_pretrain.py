@@ -157,6 +157,7 @@ def pretrain_multiseed(
         verbose: bool = True,
         data_device: Optional[jax.Array] = None,
         shard_over_devices: bool = False,
+        start_epoch: int = 1,
 ) -> MultiseedPretrainResult:
     """Train S seeds in lockstep through one vmapped step program.
 
@@ -171,6 +172,12 @@ def pretrain_multiseed(
     (the shared image store replicates; each chip trains its share of the
     seed batch) — the pod-level counterpart of the reference's Slurm
     backbone array, same pattern as the eval engine's seed sharding.
+
+    ``start_states`` (a per-seed LIST of host ``PretrainState``s, e.g.
+    from :func:`load_resume_states`, or an already-stacked device tree)
+    plus ``start_epoch`` resume a checkpointed fan-out; the skipped
+    epochs' shuffle draws are consumed so the resumed trajectory equals
+    the uninterrupted one (the single-seed CLI's --reload_path contract).
     """
     S = len(opts)
     assert S >= 1 and len(train_splits) == len(val_splits) == S
@@ -225,6 +232,11 @@ def pretrain_multiseed(
         states = jax.tree_util.tree_map(
             lambda *xs: shard_lanes(jnp.stack(xs)), *per_seed)
         del per_seed
+    elif isinstance(start_states, (list, tuple)):
+        states = jax.tree_util.tree_map(
+            lambda *xs: shard_lanes(jnp.stack([jnp.asarray(x)
+                                               for x in xs])),
+            *start_states)
     else:
         states = start_states
 
@@ -304,6 +316,9 @@ def pretrain_multiseed(
     rngs = shard_lanes(jnp.stack([jax.random.PRNGKey(o.set_seed)
                                   for o in opts]))
     shuffles = [np.random.RandomState(o.set_seed) for o in opts]
+    for rs in shuffles:   # deterministic resume (see docstring)
+        for _ in range(start_epoch - 1):
+            rs.permutation(n_train)
     save_freq = int(getattr(opt0, "save_freq", 0) or 0)
     eval_bs = max(1, opt0.batch_size // 2)
 
@@ -316,7 +331,7 @@ def pretrain_multiseed(
     val_metrics: List[List[dict]] = []
     ips_l: List[float] = []
 
-    for epoch in range(1, opt0.epochs + 1):
+    for epoch in range(start_epoch, opt0.epochs + 1):
         te = time.time()
         # per-seed DataLoader shuffle (shuffle=True, drop_last=True)
         end = steps_per_epoch * opt0.batch_size
@@ -373,4 +388,57 @@ def pretrain_multiseed(
     res = MultiseedPretrainResult([o.set_seed for o in opts],
                                   train_metrics, val_metrics, ips_l)
     res.final_states = states
+    res.start_epoch = start_epoch
     return res
+
+
+def load_resume_states(backbone, opts, n_cls: int, img_size: int,
+                       ckpt_paths: Sequence[str]):
+    """Rebuild per-seed host ``PretrainState``s from fan-out checkpoints
+    (the reference's Slurm restart loses optimizer state; ours restores
+    params, BN stats, counters, momentum buffers and the step counter
+    bit-exactly — the single-seed CLI's --reload_path contract,
+    train_supervised.py:116-136).
+
+    Returns ``(per_seed_states, start_epoch)`` for
+    ``pretrain_multiseed(start_states=..., start_epoch=...)``.
+    """
+    from ..utils.checkpoint import load_checkpoint
+
+    opt0 = opts[0]
+    # template optimizer-state STRUCTURE: must be schedule-built (a
+    # callable lr adds a count-carrying state the saved tree contains);
+    # the schedule's values are irrelevant to the pytree shape
+    tmpl_sched = optim_lib.step_decay_schedule(
+        opt0.learning_rate, opt0.lr_decay_epochs_list,
+        opt0.lr_decay_rate, steps_per_epoch=1)
+    tmpl_tx = (optim_lib.adam_torch(tmpl_sched, weight_decay=0.0005)
+               if opt0.adam else
+               optim_lib.sgd_torch(tmpl_sched, momentum=opt0.momentum,
+                                   weight_decay=opt0.weight_decay))
+    template = pt.init_pretrain_state(
+        backbone, jax.random.PRNGKey(0), n_cls, img_size, tmpl_tx,
+        with_bias=opt0.linear_bias)
+
+    per_seed, epochs = [], set()
+    for path in ckpt_paths:
+        variables, head, meta = load_checkpoint(
+            path, extra_template={"opt_state": template.opt_state,
+                                  "step": template.step})
+        params = {"backbone": variables["params"],
+                  "head": {"w": np.asarray(head.weight)[:n_cls]}}
+        if opt0.linear_bias:
+            params["head"]["b"] = np.asarray(head.bias)[:n_cls]
+        extra = meta.get("extra", {})
+        assert "opt_state" in extra and "step" in extra, (
+            f"{path} carries no optimizer state; it cannot resume "
+            f"deterministically")
+        per_seed.append(pt.PretrainState(
+            params=params, batch_stats=variables["batch_stats"],
+            counters=variables.get("counters", template.counters),
+            opt_state=extra["opt_state"], step=extra["step"]))
+        epochs.add(int(meta.get("epoch", 0)))
+    assert len(epochs) == 1, (
+        f"seeds checkpointed at different epochs {sorted(epochs)}; resume "
+        f"needs a consistent fan-out snapshot")
+    return per_seed, epochs.pop() + 1

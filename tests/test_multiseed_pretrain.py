@@ -234,6 +234,59 @@ def test_pretrain_multiseed_program_cache_across_groups(env):
     assert step_fn._cache_size() == 1
 
 
+def test_pretrain_multiseed_resume_matches_uninterrupted(env):
+    """start_states + start_epoch must continue the trajectory exactly:
+    the shuffle streams advance past the skipped epochs, the optimizer
+    state and step counters carry over, and the final states match an
+    uninterrupted run to float round-trip."""
+    seeds = [3, 6]
+
+    def opts_for(epochs):
+        opts = [_opt(env["root"], s) for s in seeds]
+        for o in opts:
+            o.epochs = epochs
+        return opts
+
+    def lazy_splits(opts):
+        return [_splits(o, lazy=True) for o in opts]
+
+    full_opts = opts_for(2)
+    lz = lazy_splits(full_opts)
+    full = pretrain_multiseed(env["backbone"], full_opts,
+                              [t for t, _ in lz], [v for _, v in lz],
+                              N_CLS, verbose=False)
+
+    half_opts = opts_for(1)
+    lz = lazy_splits(half_opts)
+    half = pretrain_multiseed(env["backbone"], half_opts,
+                              [t for t, _ in lz], [v for _, v in lz],
+                              N_CLS, verbose=False)
+    saved = [jax.tree_util.tree_map(lambda x: np.asarray(x[i]),
+                                    jax.device_get(half.final_states))
+             for i in range(2)]
+
+    res_opts = opts_for(2)
+    lz = lazy_splits(res_opts)
+    resumed = pretrain_multiseed(env["backbone"], res_opts,
+                                 [t for t, _ in lz], [v for _, v in lz],
+                                 N_CLS, verbose=False,
+                                 start_states=saved, start_epoch=2)
+    assert resumed.start_epoch == 2
+    assert len(resumed.val_metrics) == 1
+    for i in range(2):
+        got = jax.tree_util.tree_map(
+            lambda x: np.asarray(x[i]),
+            jax.device_get(resumed.final_states.params))
+        want = jax.tree_util.tree_map(
+            lambda x: np.asarray(x[i]),
+            jax.device_get(full.final_states.params))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            got, want)
+        assert abs(resumed.val_metrics[-1][i]["loss"]
+                   - full.val_metrics[-1][i]["loss"]) < 1e-5
+
+
 def test_pretrain_multiseed_cifar_continual(tmp_path_factory):
     """The fan-out engine serves the CIFAR continual protocol: lazy splits
     are content-identical to eager ones and a 2-seed epoch runs."""
@@ -337,3 +390,22 @@ def test_run_seeds_pretrain_cli(env, tmp_path, monkeypatch):
     b = open(os.path.join(out_dir, "save", "seed_2",
                           "resnet12_last.ckpt"), "rb").read()
     assert a != b
+
+    # --resume continues from the saved fan-out: params/opt state/shuffle
+    # stream restored, one more epoch runs, final meta advances
+    res2 = run_seeds.main([
+        "--pretrain", "--vmap", "--seeds", "1", "2", "--seed_batch", "2",
+        "--resume", "--",
+        "--dataset", "miniImageNet", "--classifier", "linear",
+        "--model", "resnet12", "--no_dropblock", "--no_linear_bias",
+        "--continual", "--data_root", data_root,
+        "--model_path", os.path.join(out_dir, "save"),
+        "--tb_path", os.path.join(out_dir, "tb"),
+        "--epochs", "2", "--batch_size", "50", "--set_seed", "1",
+        "--num_workers", "0",
+    ])
+    assert set(res2["val_acc1"]) == {1, 2}
+    for seed in (1, 2):
+        _, _, meta2 = load_any(os.path.join(
+            out_dir, "save", f"seed_{seed}", "resnet12_last.ckpt"))
+        assert meta2["epoch"] == 2

@@ -51,3 +51,17 @@ def test_train_supervised_cli_and_resume(roots):
     variables, head, meta = load_any(ckpt)
     assert int(head.n_active) == 10
     assert meta["epoch"] == 2   # overwritten by the resumed run's final save
+
+    # deterministic resume: the resumed trajectory equals an uninterrupted
+    # 2-epoch run (shuffle stream advanced past the skipped epoch;
+    # optimizer state/step restored bit-exactly)
+    import jax
+    out2 = os.path.dirname(ckpt) + "_uninterrupted"
+    args2 = list(args)
+    args2[args2.index("--model_path") + 1] = out2
+    args2[args2.index("--tb_path") + 1] = out2 + "_tb"
+    state_full = train_supervised.main(args2 + ["--epochs", "2"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6),
+        jax.device_get(state2.params), jax.device_get(state_full.params))

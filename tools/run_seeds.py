@@ -188,9 +188,31 @@ def _run_pretrain_vmapped(args, rest):
                         extra={"opt_state": hs.opt_state, "step": hs.step})
         print(f"==> Saved {name} (seed {opt.set_seed})")
 
+    start_states, start_epoch = None, 1
+    if args.resume:
+        from subspace_reg_tpu.engine.multiseed_pretrain import (
+            load_resume_states)
+        paths = []
+        for opt in opts:
+            last = os.path.join(opt.save_folder, f"{opt.model}_last.ckpt")
+            cands = ([last] if os.path.exists(last) else []) + sorted(
+                (os.path.join(opt.save_folder, f) for f in
+                 os.listdir(opt.save_folder)
+                 if f.startswith("ckpt_epoch_")),
+                key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]),
+                reverse=True)
+            assert cands, f"--resume: no checkpoint in {opt.save_folder}"
+            paths.append(cands[0])
+        img_size = trains[0].imgs.shape[1]
+        start_states, start_epoch = load_resume_states(
+            backbone, opts, n_cls, img_size, paths)
+        print(f"==> resuming {len(paths)} seeds at epoch {start_epoch}")
+
     res = pretrain_multiseed(backbone, opts, trains, vals, n_cls,
                              save_fn=save_fn,
-                             shard_over_devices=args.shard_seeds)
+                             shard_over_devices=args.shard_seeds,
+                             start_states=start_states,
+                             start_epoch=start_epoch)
 
     # per-seed metric logs with the single-seed trainer's scalar names
     # (train_supervised.py:405-416; tb_path is shared in fan-out mode, so
@@ -200,7 +222,7 @@ def _run_pretrain_vmapped(args, rest):
         w = MetricWriter(os.path.join(opt.save_folder, "tb"))
         for ep0, (tm, vm) in enumerate(zip(res.train_metrics,
                                            res.val_metrics)):
-            epoch = ep0 + 1
+            epoch = res.start_epoch + ep0
             w.log_value("train_acc", tm[i]["acc1"], epoch)
             w.log_value("train_loss", tm[i]["loss"], epoch)
             # aggregate across lanes (one program trains all seeds)
@@ -236,6 +258,12 @@ def main(argv=None):
                    help="with --pretrain --vmap: lay the seed axis over "
                         "a 1-D device mesh (pod-scale fan-out; the image "
                         "store replicates per chip)")
+    p.add_argument("--resume", action="store_true",
+                   help="with --pretrain --vmap: resume every seed from "
+                        "its latest checkpoint (params, BN stats, "
+                        "optimizer state and shuffle stream restored — "
+                        "the resumed trajectory equals the uninterrupted "
+                        "one)")
     p.add_argument("--pallas", type=str, default="auto",
                    choices=("auto", "on", "off", "interpret"),
                    help="fused fine-tune kernel mode for the vmapped "

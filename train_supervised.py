@@ -249,6 +249,11 @@ def main(argv=None):
 
     logger = MetricWriter(opt.tb_folder)
     rng_np = np.random.RandomState(opt.set_seed)
+    # deterministic resume: consume the skipped epochs' shuffle draws so a
+    # --reload_path run reproduces the uninterrupted trajectory exactly
+    # (one permutation per epoch, both input paths)
+    for _ in range(start_epoch - 1):
+        rng_np.permutation(n_train)
     key = jax.random.PRNGKey(opt.set_seed)
 
     # device-resident dataset: when the uint8 image store fits in HBM,
