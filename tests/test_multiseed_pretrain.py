@@ -384,7 +384,6 @@ def test_run_seeds_pretrain_cli(env, tmp_path, monkeypatch):
         assert {"train_acc", "train_loss", "test_acc", "test_acc_top5",
                 "test_loss", "images_per_sec"} <= names
     # per-seed splits differ, so the two checkpoints must too
-    import pickle
     a = open(os.path.join(out_dir, "save", "seed_1",
                           "resnet12_last.ckpt"), "rb").read()
     b = open(os.path.join(out_dir, "save", "seed_2",
