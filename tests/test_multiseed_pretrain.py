@@ -193,6 +193,23 @@ def test_pretrain_multiseed_sharded_over_devices(env):
         for v in ms.val_metrics[-1][i].values():
             assert np.isfinite(v)
 
+    # resume composes with seed sharding: host start_states shard over
+    # the lane mesh and continue
+    saved = [jax.tree_util.tree_map(lambda x: np.asarray(x[i]),
+                                    jax.device_get(ms.final_states))
+             for i in range(2)]
+    opts2 = [_opt(env["root"], s) for s in seeds]
+    for o in opts2:
+        o.epochs = 2
+    lazy2 = [_splits(o, lazy=True) for o in opts2]
+    ms2 = pretrain_multiseed(env["backbone"], opts2,
+                             [t for t, _ in lazy2], [v for _, v in lazy2],
+                             N_CLS, verbose=False, shard_over_devices=True,
+                             start_states=saved, start_epoch=2)
+    for i in range(2):
+        assert int(np.asarray(ms2.final_states.step)[i]) == 24
+        assert all(np.isfinite(v) for v in ms2.val_metrics[-1][i].values())
+
 
 def test_pretrain_multiseed_rejects_mismatched_configs(env):
     opts = [_opt(env["root"], 1), _opt(env["root"], 2)]
