@@ -27,12 +27,14 @@ def _torch_reference_model(name, n_cls, linear_bias):
     torch = pytest.importorskip("torch")
     sys.path.insert(0, "/root/reference")
     try:
-        from models.resnet_language import resnet12, resnet18, seresnet12
+        from models.resnet_language import (
+            resnet12, resnet18, resnet24, resnet50, seresnet12)
     finally:
         sys.path.pop(0)
     opt = _Opt()
     opt.linear_bias = linear_bias
     factory = {"resnet12": resnet12, "resnet18": resnet18,
+               "resnet24": resnet24, "resnet50": resnet50,
                "seresnet12": seresnet12}[name]
     torch.manual_seed(7)
     model = factory(avg_pool=True, drop_rate=0.1, dropblock_size=5,
@@ -56,7 +58,8 @@ def _full_variables(model, imported, spatial=84):
             "counters": init_vars["counters"]}
 
 
-@pytest.mark.parametrize("name", ["resnet12", "resnet18"])
+@pytest.mark.parametrize("name", ["resnet12", "resnet18", "resnet24",
+                                  "resnet50"])
 def test_backbone_forward_parity(name, reference_path):
     torch = pytest.importorskip("torch")
     n_cls = 60
