@@ -103,6 +103,24 @@ class MultiseedPretrainResult:
         self.images_per_sec = images_per_sec
 
 
+def _make_tx(opt0, steps_per_epoch: int):
+    """The single-seed trainer's optimizer build (train_supervised.py:
+    95-106); shared by the engine and the resume loader so the optimizer-
+    state pytree structure can never drift between them."""
+    if opt0.cosine:
+        sched = optim_lib.cosine_schedule(
+            opt0.learning_rate, opt0.lr_decay_rate, opt0.epochs,
+            steps_per_epoch)
+    else:
+        sched = optim_lib.step_decay_schedule(
+            opt0.learning_rate, opt0.lr_decay_epochs_list,
+            opt0.lr_decay_rate, steps_per_epoch)
+    if opt0.adam:
+        return optim_lib.adam_torch(sched, weight_decay=0.0005)
+    return optim_lib.sgd_torch(sched, momentum=opt0.momentum,
+                               weight_decay=opt0.weight_decay)
+
+
 def _shared_fingerprint(opts) -> None:
     ref = opts[0]
     for o in opts[1:]:
@@ -210,19 +228,7 @@ def pretrain_multiseed(
     steps_per_epoch = n_train // opt0.batch_size
 
     # ---- optimizer (identical schedule across lanes) --------------------
-    if opt0.cosine:
-        sched = optim_lib.cosine_schedule(
-            opt0.learning_rate, opt0.lr_decay_rate, opt0.epochs,
-            steps_per_epoch)
-    else:
-        sched = optim_lib.step_decay_schedule(
-            opt0.learning_rate, opt0.lr_decay_epochs_list,
-            opt0.lr_decay_rate, steps_per_epoch)
-    if opt0.adam:
-        tx = optim_lib.adam_torch(sched, weight_decay=0.0005)
-    else:
-        tx = optim_lib.sgd_torch(sched, momentum=opt0.momentum,
-                                 weight_decay=opt0.weight_decay)
+    tx = _make_tx(opt0, steps_per_epoch)
 
     # ---- per-lane states (exact single-seed init streams) ---------------
     if start_states is None:
@@ -381,9 +387,14 @@ def pretrain_multiseed(
             for i, hs in enumerate(pull_lane_states()):
                 save_fn(i, epoch, hs, False)
 
-    if save_fn is not None:
+    if save_fn is not None and start_epoch <= opt0.epochs:
+        # nothing-to-do resumes (start_epoch > epochs) skip the final save
+        # rather than re-writing identical checkpoints
         for i, hs in enumerate(pull_lane_states()):
             save_fn(i, opt0.epochs, hs, True)
+    elif start_epoch > opt0.epochs:
+        prt(f"==> nothing to do: resumed at epoch {start_epoch} with "
+            f"--epochs {opt0.epochs}")
 
     res = MultiseedPretrainResult([o.set_seed for o in opts],
                                   train_metrics, val_metrics, ips_l)
@@ -393,12 +404,20 @@ def pretrain_multiseed(
 
 
 def load_resume_states(backbone, opts, n_cls: int, img_size: int,
-                       ckpt_paths: Sequence[str]):
+                       ckpt_paths: Sequence):
     """Rebuild per-seed host ``PretrainState``s from fan-out checkpoints
     (the reference's Slurm restart loses optimizer state; ours restores
     params, BN stats, counters, momentum buffers and the step counter
     bit-exactly — the single-seed CLI's --reload_path contract,
     train_supervised.py:116-136).
+
+    Each ``ckpt_paths`` entry is a path or a list of CANDIDATE paths for
+    that seed (e.g. ``<model>_last.ckpt`` plus ``ckpt_epoch_N``s); the
+    candidate with the highest checkpointed epoch wins, so a stale _last
+    from an earlier completed run cannot shadow newer interrupted-run
+    progress.  Leaves stay on host (numpy) — the engine host-stacks every
+    lane and uploads ONE packed transfer (the relay-diet rule; see
+    checkpoint.load_checkpoint's device=False contract).
 
     Returns ``(per_seed_states, start_epoch)`` for
     ``pretrain_multiseed(start_states=..., start_epoch=...)``.
@@ -406,25 +425,26 @@ def load_resume_states(backbone, opts, n_cls: int, img_size: int,
     from ..utils.checkpoint import load_checkpoint
 
     opt0 = opts[0]
-    # template optimizer-state STRUCTURE: must be schedule-built (a
-    # callable lr adds a count-carrying state the saved tree contains);
-    # the schedule's values are irrelevant to the pytree shape
-    tmpl_sched = optim_lib.step_decay_schedule(
-        opt0.learning_rate, opt0.lr_decay_epochs_list,
-        opt0.lr_decay_rate, steps_per_epoch=1)
-    tmpl_tx = (optim_lib.adam_torch(tmpl_sched, weight_decay=0.0005)
-               if opt0.adam else
-               optim_lib.sgd_torch(tmpl_sched, momentum=opt0.momentum,
-                                   weight_decay=opt0.weight_decay))
+    # template for the optimizer-state pytree STRUCTURE (shared build
+    # with the engine; schedule values are irrelevant to the shape)
     template = pt.init_pretrain_state(
-        backbone, jax.random.PRNGKey(0), n_cls, img_size, tmpl_tx,
-        with_bias=opt0.linear_bias)
+        backbone, jax.random.PRNGKey(0), n_cls, img_size,
+        _make_tx(opt0, steps_per_epoch=1), with_bias=opt0.linear_bias)
 
     per_seed, epochs = [], set()
-    for path in ckpt_paths:
-        variables, head, meta = load_checkpoint(
-            path, extra_template={"opt_state": template.opt_state,
-                                  "step": template.step})
+    for cands in ckpt_paths:
+        if isinstance(cands, str):
+            cands = [cands]
+        best = None
+        for path in cands:
+            variables, head, meta = load_checkpoint(
+                path, extra_template={"opt_state": template.opt_state,
+                                      "step": template.step},
+                device=False)
+            ep = int(meta.get("epoch", 0))
+            if best is None or ep > best[0]:
+                best = (ep, path, variables, head, meta)
+        ep, path, variables, head, meta = best
         params = {"backbone": variables["params"],
                   "head": {"w": np.asarray(head.weight)[:n_cls]}}
         if opt0.linear_bias:
@@ -437,7 +457,7 @@ def load_resume_states(backbone, opts, n_cls: int, img_size: int,
             params=params, batch_stats=variables["batch_stats"],
             counters=variables.get("counters", template.counters),
             opt_state=extra["opt_state"], step=extra["step"]))
-        epochs.add(int(meta.get("epoch", 0)))
+        epochs.add(ep)
     assert len(epochs) == 1, (
         f"seeds checkpointed at different epochs {sorted(epochs)}; resume "
         f"needs a consistent fan-out snapshot")

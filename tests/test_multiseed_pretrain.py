@@ -425,3 +425,16 @@ def test_run_seeds_pretrain_cli(env, tmp_path, monkeypatch):
         _, _, meta2 = load_any(os.path.join(
             out_dir, "save", f"seed_{seed}", "resnet12_last.ckpt"))
         assert meta2["epoch"] == 2
+
+    # resuming an already-complete fan-out is a clean no-op, not a crash
+    res3 = run_seeds.main([
+        "--pretrain", "--vmap", "--seeds", "1", "2", "--resume", "--",
+        "--dataset", "miniImageNet", "--classifier", "linear",
+        "--model", "resnet12", "--no_dropblock", "--no_linear_bias",
+        "--continual", "--data_root", data_root,
+        "--model_path", os.path.join(out_dir, "save"),
+        "--tb_path", os.path.join(out_dir, "tb"),
+        "--epochs", "2", "--batch_size", "50", "--set_seed", "1",
+        "--num_workers", "0",
+    ])
+    assert res3["val_acc1"] == {}

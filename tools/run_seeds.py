@@ -195,14 +195,15 @@ def _run_pretrain_vmapped(args, rest):
         paths = []
         for opt in opts:
             last = os.path.join(opt.save_folder, f"{opt.model}_last.ckpt")
-            cands = ([last] if os.path.exists(last) else []) + sorted(
-                (os.path.join(opt.save_folder, f) for f in
-                 os.listdir(opt.save_folder)
-                 if f.startswith("ckpt_epoch_")),
-                key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]),
-                reverse=True)
+            # all candidates per seed: load_resume_states picks the one
+            # with the highest checkpointed epoch (a stale _last must not
+            # shadow newer ckpt_epoch_N progress)
+            cands = ([last] if os.path.exists(last) else []) + [
+                os.path.join(opt.save_folder, f)
+                for f in os.listdir(opt.save_folder)
+                if f.startswith("ckpt_epoch_")]
             assert cands, f"--resume: no checkpoint in {opt.save_folder}"
-            paths.append(cands[0])
+            paths.append(cands)
         img_size = trains[0].imgs.shape[1]
         start_states, start_epoch = load_resume_states(
             backbone, opts, n_cls, img_size, paths)
@@ -290,12 +291,16 @@ def main(argv=None):
                           f"=====", flush=True)
                 g0 = _time.time()
                 res = _run_pretrain_vmapped(gargs, rest)
+                ips = (f"{np.mean(res.images_per_sec):.0f} img/s"
+                       if res.images_per_sec else "no epochs ran")
                 print(f"[group {gargs.seeds} wall "
-                      f"{_time.time() - g0:.1f}s; aggregate "
-                      f"{np.mean(res.images_per_sec):.0f} img/s]",
+                      f"{_time.time() - g0:.1f}s; aggregate {ips}]",
                       flush=True)
-                for s, vm in zip(gargs.seeds, res.val_metrics[-1]):
-                    out["val_acc1"][s] = vm["acc1"]
+                # a nothing-to-do resume (checkpoints already at
+                # --epochs) has no val pass to report
+                if res.val_metrics:
+                    for s, vm in zip(gargs.seeds, res.val_metrics[-1]):
+                        out["val_acc1"][s] = vm["acc1"]
         else:
             import train_supervised
             for seed in args.seeds:
