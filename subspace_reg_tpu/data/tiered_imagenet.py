@@ -20,6 +20,22 @@ import numpy as np
 from .mini_imagenet import SplitData
 from .pickles import load_labels_pkl
 
+# npz image cache keyed by (abspath, mtime) — the multi-seed pretraining
+# fan-out loads the SAME seed-independent tiered split once per seed; a
+# shared host array lets the engine stage ONE device copy for every lane
+# (eager-identity path of multiseed_pretrain._stage_splits) instead of S
+# multi-GB re-reads.  Same design as pickles.load_pickle_latin1.
+_npz_cache: dict = {}
+
+
+def _load_npz_images(path: str) -> np.ndarray:
+    key = (os.path.abspath(path), os.path.getmtime(path))
+    if key not in _npz_cache:
+        while len(_npz_cache) >= 3:   # train/val phases + train_b
+            _npz_cache.pop(next(iter(_npz_cache)))
+        _npz_cache[key] = np.load(path)["images"]
+    return _npz_cache[key]
+
 
 def load_tiered_imagenet(opt, partition: str = "train",
                          phase: Optional[str] = None,
@@ -34,7 +50,7 @@ def load_tiered_imagenet(opt, partition: str = "train",
         image_file = os.path.join(opt.data_root, f"{partition}_images.npz")
         label_file = os.path.join(opt.data_root, f"{partition}_labels.pkl")
 
-    imgs = np.load(image_file)["images"]
+    imgs = _load_npz_images(image_file)
     label_data = load_labels_pkl(label_file)
     labels = np.asarray(label_data["label_specific"])
 

@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 from subspace_reg_tpu.data import synthetic
 from subspace_reg_tpu.data.mini_imagenet import load_mini_imagenet
@@ -344,12 +346,42 @@ def test_pretrain_multiseed_cifar_continual(tmp_path_factory):
         assert all(np.isfinite(v) for v in ms.val_metrics[-1][i].values())
 
 
+@pytest.mark.slow
+def test_run_seeds_pretrain_cli_tiered(tmp_path):
+    """tieredImageNet fan-out: the seed-independent split shares one
+    npz-cached host array across lanes (eager-identity staging); seeds
+    differ only in init/shuffle streams.  (slow: full-width resnet12
+    through a 351-way head on CPU)"""
+    import run_seeds
+    from subspace_reg_tpu.utils.checkpoint import load_any
+
+    data_root = str(tmp_path / "data")
+    synthetic.make_tiered(os.path.join(data_root, "tieredImageNet"),
+                          n_classes=351, per_class=35, img_size=16, seed=0)
+    out_dir = str(tmp_path / "out")
+    res = run_seeds.main([
+        "--pretrain", "--vmap", "--seeds", "1", "2", "--",
+        "--dataset", "tieredImageNet", "--classifier", "linear",
+        "--model", "resnet12", "--no_dropblock", "--no_linear_bias",
+        "--data_root", data_root,
+        "--model_path", os.path.join(out_dir, "save"),
+        "--tb_path", os.path.join(out_dir, "tb"),
+        "--epochs", "1", "--batch_size", "4096", "--set_seed", "1",
+        "--num_workers", "0",
+    ])
+    assert set(res["val_acc1"]) == {1, 2}
+    for seed in (1, 2):
+        ck = os.path.join(out_dir, "save", f"seed_{seed}",
+                          "resnet12_last.ckpt")
+        variables, head, meta = load_any(ck)
+        assert int(head.n_active) == 351
+        assert meta["epoch"] == 1
+        assert "training_classes" not in meta   # non-continual meta
+
+
 def test_run_seeds_pretrain_cli(env, tmp_path, monkeypatch):
     """The --pretrain --vmap CLI writes per-seed reference-contract
     checkpoints and reports per-seed val accuracy."""
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "tools"))
     import run_seeds
     from subspace_reg_tpu.data import mini_imagenet as mini_mod
 

@@ -152,16 +152,35 @@ def _run_pretrain_vmapped(args, rest):
                                                phase="train", lazy=True))
             vals.append(load_cifar_continual(opt, split="train",
                                              phase="val", lazy=True))
+        elif opt.dataset == "tieredImageNet":
+            # the tiered pretraining split is seed-independent, so every
+            # lane shares the npz-cached host array and the engine stages
+            # ONE device copy (eager-identity path); seeds differ only in
+            # init/shuffle streams — exactly the reference's tiered
+            # backbone array
+            assert not getattr(opt, "augment_pretrain_wtrainb", False), (
+                "--pretrain --vmap: train_b pooling (and its 200-class "
+                "eval truncation) is single-seed only; drop --vmap or "
+                "--augment_pretrain_wtrainb")
+            from subspace_reg_tpu.data.tiered_imagenet import (
+                load_tiered_imagenet)
+            trains.append(load_tiered_imagenet(opt, partition="train",
+                                               phase="train"))
+            vals.append(load_tiered_imagenet(opt, partition="train",
+                                             phase="val"))
         else:
             raise AssertionError(
-                "--pretrain --vmap serves the continual backbone fan-outs "
-                "(miniImageNet golden, CIFAR); other datasets/protocols "
-                "run per seed via train_supervised.py (drop --vmap)")
+                "--pretrain --vmap serves the backbone fan-outs "
+                "(miniImageNet/CIFAR continual, tieredImageNet); other "
+                "datasets/protocols run per seed via train_supervised.py "
+                "(drop --vmap)")
         opts.append(opt)
 
     opt0 = opts[0]
     if opt0.dataset == "miniImageNet":
         n_cls = 80 if opt0.use_trainval else 60
+    elif opt0.dataset == "tieredImageNet":
+        n_cls = 448 if opt0.use_trainval else 351
     else:
         n_cls = 60   # CIFAR continual (train_supervised.py:64)
     backbone = create_model(opt0.model, n_cls, opt0, dataset=opt0.dataset,
@@ -172,8 +191,10 @@ def _run_pretrain_vmapped(args, rest):
         # training_classes (= basec_map) + label2human, optimizer state for
         # --reload_path resume
         opt, split = opts[i], trains[i]
-        meta = {"training_classes": split.basec_map,
-                "label2human": split.label2human, "epoch": epoch}
+        meta = {"epoch": epoch}
+        if opt.continual:   # train_supervised.py:318-321
+            meta["training_classes"] = split.basec_map
+            meta["label2human"] = split.label2human
         variables = {"params": hs.params["backbone"],
                      "batch_stats": hs.batch_stats,
                      "counters": hs.counters}
