@@ -149,6 +149,117 @@ def test_run_seeds_seed_batch_groups(monkeypatch, capsys):
     assert len(out["weighted_traces"]) == 5
 
 
+def test_multiseed_tiered_weighting(env):
+    """The vmapped engine applies the tiered w1=200 session weighting
+    (reference eval/language_eval.py:383) per lane — exercised by running
+    the engine with a tiered-flavored opt over the small fixture."""
+    inputs = [_seed_inputs(env, s, 100 + i) for i, s in enumerate([3, 6])]
+    for inp in inputs:
+        inp["opt"].dataset = "tieredImageNet"
+        inp["opt"].neval_episodes = 3
+
+    ms = few_shot_finetune_multiseed(
+        env["backbone"],
+        [inp["variables"] for inp in inputs],
+        [inp["head"] for inp in inputs],
+        [{} for _ in inputs],
+        [inp["opt"] for inp in inputs],
+        [inp["meta_sampler"] for inp in inputs],
+        [inp["base_test"] for inp in inputs],
+        [inp["base_support"] for inp in inputs])
+
+    for res in ms.per_seed:
+        assert len(res.acc_novel_list) == 3   # CLI value, no 8-clamp
+        # weighted trace entries obey (200*base + n_novel*novel)/(200+n)
+        for k, (nov, base) in enumerate(zip(res.acc_novel_list,
+                                            res.acc_base_list)):
+            n_novel = 5 * (k + 1)
+            want = round((200 * base + n_novel * nov) / (200 + n_novel), 2)
+            assert abs(res.weighted_avg_l[k + 1] - want) < 1e-6
+
+
+def test_run_seeds_eval_dataset_dispatch(tmp_path, monkeypatch):
+    """The eval fan-out serves CIFAR continual and tieredImageNet like
+    the single-seed CLI (loader dispatch of eval_incremental.py:44-77):
+    right class budgets/padding, transform override, seed-independent
+    tiered splits sharing one host array."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import run_seeds
+    from subspace_reg_tpu.data import synthetic as syn
+    from subspace_reg_tpu.engine import multiseed as ms_mod
+    from subspace_reg_tpu.models import head as head_lib
+    from subspace_reg_tpu.models.resnet import ResNetRFS
+    from subspace_reg_tpu.utils.checkpoint import save_checkpoint
+
+    data_root = str(tmp_path / "data")
+    syn.make_cifar(os.path.join(data_root, "CIFAR-FS"), n_classes=100,
+                   per_class=20, seed=0)
+    syn.make_tiered(os.path.join(data_root, "tieredImageNet"),
+                    n_classes=351, per_class=12, img_size=16, seed=0)
+
+    backbone = ResNetRFS(n_blocks=(1, 1, 1, 1), drop_rate=0.0,
+                         no_dropblock=True, avg_pool=True)
+    variables = backbone.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 16, 16, 3)), train=False)
+
+    def make_ckpt(name, n_cls):
+        head = head_lib.init_head(jax.random.PRNGKey(1), n_cls,
+                                  in_dim=640, with_bias=False,
+                                  max_classes=n_cls)
+        path = str(tmp_path / name)
+        save_checkpoint(path, dict(variables), head, {"epoch": 1})
+        return path
+
+    captured = {}
+
+    def fake_engine(backbone_, variables_l, heads, metas, opts, samplers,
+                    base_tests, per_seed_base_support=None, **kw):
+        from subspace_reg_tpu.engine.incremental import IncrementalResult
+        captured["opts"] = opts
+        captured["heads"] = heads
+        captured["base_tests"] = base_tests
+        captured["samplers"] = samplers
+        return type("R", (), {"per_seed": [IncrementalResult(
+            acc_novel_avg=1.0, acc_base_avg=2.0, weighted_avg_l=[1.5],
+            acc_novel_list=[1.0], acc_base_list=[2.0],
+            novel_session_traces=[[1.0]], epochs_per_session=[1])
+            for _ in opts]})()
+
+    monkeypatch.setattr(ms_mod, "few_shot_finetune_multiseed", fake_engine)
+
+    common = ["--model", "resnet12", "--no_dropblock",
+              "--data_root", data_root, "--n_shots", "5",
+              "--classifier", "linear",
+              "--eval_mode", "few-shot-incremental-fine-tune",
+              "--n_queries", "2", "--test_base_batch_size", "40",
+              "--memory_replay", "1", "--n_base_support_samples", "1",
+              "--lmbd_reg_transform_w", "0.2", "--set_seed", "1"]
+
+    ck = make_ckpt("cifar.ckpt", 60)
+    run_seeds.main(["--vmap", "--seeds", "1", "2",
+                    "--model_path_pattern", ck, "--",
+                    "--dataset", "CIFAR-FS", "--continual",
+                    "--model_path", ck] + common)
+    assert [o.dataset for o in captured["opts"]] == ["CIFAR-FS"] * 2
+    assert all(o.transform == "D" for o in captured["opts"])
+    assert captured["heads"][0].weight.shape[0] == 100   # 60 + 8*5
+    # per-seed CIFAR continual splits are lazy views over one array
+    from subspace_reg_tpu.data.mini_imagenet import LazyRows
+    assert isinstance(captured["samplers"][0].base.imgs, LazyRows)
+
+    ck = make_ckpt("tiered.ckpt", 351)
+    run_seeds.main(["--vmap", "--seeds", "1", "2",
+                    "--model_path_pattern", ck, "--",
+                    "--dataset", "tieredImageNet", "--continual",
+                    "--model_path", ck] + common)
+    assert captured["heads"][0].weight.shape[0] == 391   # 351 + 8*5
+    # seed-independent tiered splits share ONE npz-cached host array
+    assert captured["samplers"][0].base.imgs is \
+        captured["samplers"][1].base.imgs
+    assert captured["base_tests"][0].imgs is captured["base_tests"][1].imgs
+
+
 def test_multiseed_save_preds_matches_single_seed(env, tmp_path,
                                                   monkeypatch):
     """--save_preds_0 in the vmapped engine writes the reference-named
