@@ -20,9 +20,8 @@ import time
 
 import numpy as np
 
-from subspace_reg_tpu.config import parse_option_eval, MAX_SESSIONS
+from subspace_reg_tpu.config import parse_option_eval
 from subspace_reg_tpu.data.episodes import EpisodeSampler
-from subspace_reg_tpu.data.mini_imagenet import load_mini_imagenet
 from subspace_reg_tpu.engine.incremental import few_shot_finetune_incremental_test
 from subspace_reg_tpu.models.factory import create_model
 from subspace_reg_tpu.utils.checkpoint import load_any
@@ -41,39 +40,10 @@ def main(argv=None):
         print(k, v)
     print("End of arguments.\n")
 
-    if opt.dataset == "miniImageNet":
-        # base test samples: base classes, unused-in-training samples
-        # (reference eval_incremental.py:53-57)
-        base_test = load_mini_imagenet(opt, split="train", phase="test")
-        base_train = (load_mini_imagenet(opt, split="train", phase="train")
-                      if opt.n_base_support_samples > 0 else None)
-        novel = load_mini_imagenet(opt, split="val")
-        n_cls = 80 if opt.use_trainval else (60 if opt.continual else 64)
-    elif opt.dataset in ("CIFAR-FS", "FC100"):
-        # the reference raises here (eval_incremental.py:82-83); we wire the
-        # CIFAR continual protocol end-to-end (SURVEY.md §7 step 8)
-        from subspace_reg_tpu.data.cifar import load_cifar_continual
-        base_test = load_cifar_continual(opt, split="train", phase="test")
-        base_train = (load_cifar_continual(opt, split="train", phase="train")
-                      if opt.n_base_support_samples > 0 else None)
-        novel = load_cifar_continual(opt, split="val")
-        opt.transform = "D"
-        n_cls = 60
-    elif opt.dataset == "tieredImageNet":
-        # the reference raises for tiered (eval_incremental.py:83) yet its
-        # engine carries the tiered weighting (language_eval.py:383); we wire
-        # it end-to-end: base = 351-class train_a partition with its
-        # train/val/test phase split (dataset/tiered_imagenet.py:24-35),
-        # novel episodes from the class-disjoint val partition
-        from subspace_reg_tpu.data.tiered_imagenet import load_tiered_imagenet
-        base_test = load_tiered_imagenet(opt, partition="train", phase="test")
-        base_train = (load_tiered_imagenet(opt, partition="train",
-                                           phase="train")
-                      if opt.n_base_support_samples > 0 else None)
-        novel = load_tiered_imagenet(opt, partition="val", pretrain=False)
-        n_cls = 448 if opt.use_trainval else 351
-    else:
-        raise NotImplementedError(opt.dataset)
+    # shared loader dispatch + session-budget clamp (ONE implementation
+    # with the multi-seed fan-out: subspace_reg_tpu/data/eval_splits.py)
+    from subspace_reg_tpu.data.eval_splits import load_eval_splits
+    base_test, base_train, novel, n_cls = load_eval_splits(opt)
 
     base_support_sampler = None
     if base_train is not None:
@@ -88,19 +58,6 @@ def main(argv=None):
                                   use_episodes=opt.use_episodes,
                                   disjoint_classes=True)
 
-    # session / episode count: the reference hardcodes 8
-    # (eval_incremental.py:123, language_eval.py:132-136).  An explicitly
-    # passed --neval_episodes (!= the 2000 parser default, configs.py:60 —
-    # a dead default upstream) overrides, bounded by the novel split's class
-    # budget since the disjoint sampler consumes 5 classes per session.
-    n_novel_classes = len(set(novel.labels))
-    budget = n_novel_classes // opt.n_ways
-    if opt.neval_episodes == 2000:
-        opt.neval_episodes = MAX_SESSIONS
-    if opt.neval_episodes > budget:
-        print(f"==> clamping sessions to the novel class budget: "
-              f"{budget} ({n_novel_classes} classes / {opt.n_ways}-way)")
-        opt.neval_episodes = budget
     from subspace_reg_tpu.engine.incremental import session_count
     n_sessions = session_count(opt)
 

@@ -28,9 +28,10 @@ import numpy as np
 
 def _run_vmapped(args, rest):
     """All seeds in one vmapped engine execution (engine/multiseed.py)."""
-    from subspace_reg_tpu.config import parse_option_eval, MAX_SESSIONS
+    from subspace_reg_tpu.config import parse_option_eval
     from subspace_reg_tpu.data.episodes import EpisodeSampler
-    from subspace_reg_tpu.data.mini_imagenet import load_mini_imagenet
+    from subspace_reg_tpu.data.eval_splits import load_eval_splits
+    from subspace_reg_tpu.engine.incremental import session_count
     from subspace_reg_tpu.engine.multiseed import few_shot_finetune_multiseed
     from subspace_reg_tpu.models.factory import create_model
     from subspace_reg_tpu.utils.checkpoint import load_any
@@ -46,56 +47,18 @@ def _run_vmapped(args, rest):
             argv += ["--model_path",
                      args.model_path_pattern.format(seed=seed)]
         opt = parse_option_eval(argv)
-        if opt.dataset == "miniImageNet":
-            n_cls = 80 if opt.use_trainval else 60
-        elif opt.dataset == "tieredImageNet":
-            n_cls = 448 if opt.use_trainval else 351
-        else:   # CIFAR continual (eval_incremental.py:52-61)
-            n_cls = 60
-        # lazy=True: splits are LazyRows views over the shared pickle
-        # array — no per-seed gathered copies (~1.1GB of page faults per
-        # seed), and the engine stages the full array on device ONCE for
-        # all seeds and groups, gathering episodes there.  Tiered's
-        # splits are seed-independent npz-cached arrays, so the engine's
-        # eager-identity staging serves them.  Dispatch mirrors
-        # eval_incremental.py:44-77.
-        if opt.dataset == "miniImageNet":
-            base_test = load_mini_imagenet(opt, split="train",
-                                           phase="test", lazy=True)
-            base_train = load_mini_imagenet(opt, split="train",
-                                            phase="train", lazy=True)
-            novel = load_mini_imagenet(opt, split="val", lazy=True)
-        elif opt.dataset in ("CIFAR-FS", "FC100"):
-            from subspace_reg_tpu.data.cifar import load_cifar_continual
-            base_test = load_cifar_continual(opt, split="train",
-                                             phase="test", lazy=True)
-            base_train = load_cifar_continual(opt, split="train",
-                                              phase="train", lazy=True)
-            novel = load_cifar_continual(opt, split="val", lazy=True)
-            opt.transform = "D"
-        elif opt.dataset == "tieredImageNet":
-            from subspace_reg_tpu.data.tiered_imagenet import (
-                load_tiered_imagenet)
-            base_test = load_tiered_imagenet(opt, partition="train",
-                                             phase="test")
-            base_train = load_tiered_imagenet(opt, partition="train",
-                                              phase="train")
-            novel = load_tiered_imagenet(opt, partition="val",
-                                         pretrain=False)
-        else:
-            raise NotImplementedError(opt.dataset)
-        # session budget clamp (eval_incremental.py:91-103): the 2000
-        # parser default means "the canonical 8"; explicit values are
-        # bounded by the novel class budget (disjoint sampler consumes
-        # n_ways classes per session)
-        budget = len(set(novel.labels)) // opt.n_ways
-        if opt.neval_episodes == 2000:
-            opt.neval_episodes = MAX_SESSIONS
-        if opt.neval_episodes > budget:
-            print(f"==> clamping sessions to the novel class budget: "
-                  f"{budget}")
-            opt.neval_episodes = budget
-        max_classes = n_cls + MAX_SESSIONS * opt.n_ways
+        # shared loader dispatch + session-budget clamp (ONE
+        # implementation with eval_incremental.py:
+        # subspace_reg_tpu/data/eval_splits.py).  lazy=True: mini/CIFAR
+        # splits are LazyRows views over the shared pickle array — no
+        # per-seed gathered copies, and the engine stages the full array
+        # on device ONCE for all seeds and groups; tiered's splits are
+        # seed-independent npz-cached arrays served by the engine's
+        # eager-identity staging.
+        base_test, base_train, novel, n_cls = load_eval_splits(
+            opt, lazy=True)
+        n_sessions = session_count(opt)
+        max_classes = n_cls + n_sessions * opt.n_ways
         # device=False: per-seed trees stay on host; the multiseed engine
         # stacks them and uploads ONE packed transfer for the whole fleet
         # (leaf-by-leaf uploads pay ~0.1s relay round-trip each).
