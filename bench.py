@@ -49,7 +49,8 @@ def main():
 
     backbone = ResNetRFS(n_blocks=(1, 1, 2, 2), drop_rate=0.1,
                          no_dropblock=True, avg_pool=True,
-                         dtype=jnp.bfloat16)
+                         dtype=jnp.bfloat16,
+                         remat=os.environ.get("BENCH_REMAT", "0") == "1")
     tx = optim_lib.sgd_torch(0.05, momentum=0.9, weight_decay=5e-4)
     state = pt.init_pretrain_state(backbone, jax.random.PRNGKey(0),
                                    n_cls, img, tx, with_bias=False)

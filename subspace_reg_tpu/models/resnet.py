@@ -147,6 +147,12 @@ class ResNetRFS(nn.Module):
     keep_prob: float = 1.0
     widths: Sequence[int] = WIDTHS   # narrow override for cheap test models
     dtype: Any = None                # bf16 compute path for pretraining
+    remat: bool = False              # per-block rematerialization: backward
+                                     # recomputes block internals from block
+                                     # inputs instead of loading saved
+                                     # activations from HBM (trades FLOPs
+                                     # for activation traffic; measured in
+                                     # tools/exp_remat.py)
 
     @property
     def feature_dim(self) -> int:
@@ -154,6 +160,9 @@ class ResNetRFS(nn.Module):
 
     def setup(self):
         block_size = 1 if self.no_dropblock else self.dropblock_size
+        # argnum 2 (after self=0, x=1) is the static `train` bool
+        block_cls = (nn.remat(BasicBlock, static_argnums=(2,))
+                     if self.remat else BasicBlock)
         stages = []
         for li, (nb, planes) in enumerate(zip(self.n_blocks, self.widths)):
             # layers 3/4 pass drop_block=True in the reference ctor
@@ -164,8 +173,8 @@ class ResNetRFS(nn.Module):
                 drop_block=stage_drop_block, block_size=block_size,
                 use_se=self.use_se)
             blocks = tuple(
-                BasicBlock(**spec, dtype=self.dtype,
-                           name=f"layer{li + 1}_{bi}")
+                block_cls(**spec, dtype=self.dtype,
+                          name=f"layer{li + 1}_{bi}")
                 for bi, spec in enumerate(specs)
             )
             stages.append(blocks)

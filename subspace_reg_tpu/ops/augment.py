@@ -31,10 +31,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..data.transforms import AugmentSpec
 
-_GRAY_W = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+# numpy on purpose: a module-level jnp constant would initialize the JAX
+# backends at import time, before the CLIs' jax_setup.configure() can force
+# the platform (a TPU-relay outage then hangs every entry point on import)
+_GRAY_W = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
 def _jitter_batch(x: jax.Array, key: jax.Array, strength: float) -> jax.Array:

@@ -28,7 +28,20 @@ def configure(enable_cache: bool = True, tpu_rng: bool = True) -> None:
     function.  Idempotent."""
     import jax
 
-    if tpu_rng and jax.default_backend() == "tpu":
+    # Honor $JAX_PLATFORMS through jax.config: a pre-registered TPU relay
+    # plugin (axon) overrides the bare env var, so `JAX_PLATFORMS=cpu
+    # python train_supervised.py ...` would still try the relay — and
+    # during a relay outage backend init hangs for minutes before failing.
+    # Forcing the config here makes CPU-first CLI runs work exactly like
+    # the test harness (tests/conftest.py does the same).
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
+
+    if tpu_rng and env_platforms != "cpu" and jax.default_backend() == "tpu":
         jax.config.update("jax_default_prng_impl", "rbg")
 
     cache_dir = os.environ.get("SUBSPACE_REG_JAX_CACHE")
