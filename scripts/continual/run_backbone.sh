@@ -3,8 +3,9 @@
 # scripts/continual/slurm_run_backbone.sh:30-40 Slurm array).
 #
 # Default: ALL seeds train simultaneously on one chip through the vmapped
-# multi-seed engine (batch-64 lanes fill the MXU together; see
-# engine/multiseed_pretrain.py).  VMAP=0 falls back to sequential
+# multi-seed engine (one staging + one compile serve every lane; aggregate
+# img/s matches sequential on one chip — see engine/multiseed_pretrain.py;
+# --shard_seeds scales over a mesh).  VMAP=0 falls back to sequential
 # single-seed runs (one chip replaces the per-seed V100); use
 # SEEDS="1 2 3" to shard across hosts either way.
 set -e

@@ -3,14 +3,20 @@ reference's Slurm seed array over ``train_supervised.py`` (reference
 scripts/continual/slurm_run_backbone.sh:8,30-40: 10 single-GPU 100-epoch
 jobs, one per ``--set_seed``).
 
-Why vmap instead of 10 sequential runs: the reference pretrains at batch 64
-(configs.py:124), which leaves most of a TPU's MXU idle — one seed's step is
-latency-bound, not FLOP-bound.  vmapping S seeds stacks their (64, 84, 84, 3)
-batches into one program whose convs run at an effective batch of S*64 with
-per-seed weights (XLA lowers the vmapped conv with a batch-group dimension —
-the same pattern the vmapped FSCIL engine's eval forwards already run on
-hardware, engine/multiseed.py), so the fan-out finishes in roughly the wall
-time of ONE run.
+Why vmap instead of 10 sequential runs: one program, one compile, one
+staging pass, one process.  The reference pretrains at batch 64
+(configs.py:124); vmapping S seeds stacks their (64, 84, 84, 3) batches into
+one program whose convs run with per-seed weights (XLA lowers the vmapped
+conv with a batch-group dimension — the same pattern the vmapped FSCIL
+engine's eval forwards run on hardware, engine/multiseed.py).  Measured on
+v5e (round 3): aggregate throughput EQUALS the sequential single-seed rate
+(2,862 vs 2,859 img/s — batch-grouped convs cannot share MXU tiles across
+lanes the way a shared-weight batch does), so the single-chip win is
+operational, not arithmetic: the 1.2GB image store stages once for every
+seed and group, the step/eval programs compile once, resume is
+per-fan-out instead of per-Slurm-job, and ``shard_over_devices`` lays the
+seed axis over a mesh for the true parallel counterpart of the 10-GPU
+array.
 
 Faithfulness contract: each lane reproduces the single-seed trainer exactly —
 
