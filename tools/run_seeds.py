@@ -116,8 +116,12 @@ def _run_vmapped(args, rest):
 def _run_pretrain_vmapped(args, rest):
     """All seeds' backbone pretraining in one vmapped engine execution
     (engine/multiseed_pretrain.py) — the reference's Slurm array over
-    train_supervised.py (slurm_run_backbone.sh:30-40) in roughly the wall
-    time of one batch-64 run."""
+    train_supervised.py (slurm_run_backbone.sh:30-40) as one process: one
+    staging pass, one compile, unified deterministic resume.  Measured on
+    hardware (BASELINE.md): aggregate img/s on one chip EQUALS sequential
+    single-seed runs (vmapped convs carry per-seed weights, so lanes cannot
+    share MXU tiles); use --shard_seeds to lay the seed axis over a device
+    mesh for true parallelism."""
     import jax
     import jax.numpy as jnp
 
