@@ -47,10 +47,14 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
     n_cls, img = 60, 84
 
+    # BENCH_REMAT: 0 (off, production default), 1 (full per-block remat),
+    # conv (selective policy: save conv outputs, recompute BN/relu/pool)
+    _remat = os.environ.get("BENCH_REMAT", "0")
     backbone = ResNetRFS(n_blocks=(1, 1, 2, 2), drop_rate=0.1,
                          no_dropblock=True, avg_pool=True,
                          dtype=jnp.bfloat16,
-                         remat=os.environ.get("BENCH_REMAT", "0") == "1")
+                         remat=_remat in ("1", "conv"),
+                         remat_policy="conv" if _remat == "conv" else None)
     tx = optim_lib.sgd_torch(0.05, momentum=0.9, weight_decay=5e-4)
     state = pt.init_pretrain_state(backbone, jax.random.PRNGKey(0),
                                    n_cls, img, tx, with_bias=False)

@@ -30,11 +30,12 @@ head across sessions, which on TPU is a statically-padded buffer + mask (see
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from .layers import (
     DropBlock,
@@ -70,22 +71,29 @@ class BasicBlock(nn.Module):
         if not self.is_initializing() and self.is_mutable_collection("counters"):
             nbt.value = nbt.value + 1
 
+        # conv outputs are checkpoint_name-tagged so the selective remat
+        # policy (remat_policy='conv') can save them while recomputing the
+        # cheap BN/LeakyReLU/MaxPool tails in the backward — no-op otherwise
         residual = x
         out = conv3x3(self.planes, name="conv1", dtype=self.dtype)(x)
+        out = checkpoint_name(out, "conv_out")
         out = TorchBatchNorm(self.planes, name="bn1")(out, train, sample_mask)
         out = nn.leaky_relu(out, 0.1)
 
         out = conv3x3(self.planes, name="conv2", dtype=self.dtype)(out)
+        out = checkpoint_name(out, "conv_out")
         out = TorchBatchNorm(self.planes, name="bn2")(out, train, sample_mask)
         out = nn.leaky_relu(out, 0.1)
 
         out = conv3x3(self.planes, name="conv3", dtype=self.dtype)(out)
+        out = checkpoint_name(out, "conv_out")
         out = TorchBatchNorm(self.planes, name="bn3")(out, train, sample_mask)
         if self.use_se:
             out = SELayer(self.planes, reduction=4, name="se")(out)
 
         if self.has_downsample:
             residual = conv1x1(self.planes, name="ds_conv", dtype=self.dtype)(x)
+            residual = checkpoint_name(residual, "conv_out")
             residual = TorchBatchNorm(self.planes, name="ds_bn")(
                 residual, train, sample_mask)
         out = out + residual
@@ -153,6 +161,15 @@ class ResNetRFS(nn.Module):
                                      # activations from HBM (trades FLOPs
                                      # for activation traffic; measured in
                                      # tools/exp_remat.py)
+    remat_policy: Optional[str] = None
+                                     # None: full per-block remat (recompute
+                                     # everything incl. convs).  'conv':
+                                     # selective — jax.checkpoint policy
+                                     # saves the checkpoint_name-tagged conv
+                                     # outputs and recomputes only the
+                                     # BN/LeakyReLU/MaxPool tails, attacking
+                                     # activation traffic without paying
+                                     # conv recompute FLOPs.
 
     @property
     def feature_dim(self) -> int:
@@ -161,8 +178,19 @@ class ResNetRFS(nn.Module):
     def setup(self):
         block_size = 1 if self.no_dropblock else self.dropblock_size
         # argnum 2 (after self=0, x=1) is the static `train` bool
-        block_cls = (nn.remat(BasicBlock, static_argnums=(2,))
-                     if self.remat else BasicBlock)
+        if self.remat:
+            if self.remat_policy is None:
+                policy = None
+            elif self.remat_policy == "conv":
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "conv_out")
+            else:
+                raise ValueError(
+                    f"unknown remat_policy {self.remat_policy!r}")
+            block_cls = nn.remat(BasicBlock, static_argnums=(2,),
+                                 policy=policy)
+        else:
+            block_cls = BasicBlock
         stages = []
         for li, (nb, planes) in enumerate(zip(self.n_blocks, self.widths)):
             # layers 3/4 pass drop_block=True in the reference ctor

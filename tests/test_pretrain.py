@@ -146,16 +146,20 @@ def test_faithful_nbt_eval_counting():
         assert int(leaf) == 3
 
 
+@pytest.mark.slow
 def test_remat_step_matches_baseline():
     """ResNetRFS(remat=True) is a pure scheduling change: per-block
     nn.remat recomputes block internals in the backward instead of saving
     activations (tools/exp_remat.py measures the TPU cost/benefit).  The
     trained state after identical steps must match the non-remat module
-    numerically, dropout stream included."""
-    def build(remat):
+    numerically, dropout stream included.  remat_policy='conv' (selective:
+    save checkpoint_name-tagged conv outputs, recompute the BN/LeakyReLU/
+    MaxPool tails) is likewise scheduling-only."""
+    def build(mode):
         backbone = ResNetRFS(n_blocks=(1, 1, 1, 1), drop_rate=0.1,
                              no_dropblock=True, avg_pool=True,
-                             widths=(8, 16, 24, 32), remat=remat)
+                             widths=(8, 16, 24, 32), remat=mode != "off",
+                             remat_policy="conv" if mode == "conv" else None)
         tx = optim_lib.sgd_torch(0.05, momentum=0.9, weight_decay=5e-4)
         state = pt.init_pretrain_state(backbone, jax.random.PRNGKey(0),
                                        n_cls=10, img_size=16, tx=tx,
@@ -168,21 +172,22 @@ def test_remat_step_matches_baseline():
     x, y = jnp.asarray(x), jnp.asarray(y)
 
     outs = []
-    for remat in (False, True):
-        backbone, tx, state = build(remat)
+    for mode in ("off", "full", "conv"):
+        backbone, tx, state = build(mode)
         step = pt.make_train_step(backbone, tx, spec, with_bias=False)
         metrics = None
         for _ in range(3):
             state, metrics = step(state, x, y, jax.random.PRNGKey(11))
         outs.append((state, metrics))
 
-    (s0, m0), (s1, m1) = outs
-    assert m0["loss"] == pytest.approx(float(m1["loss"]), rel=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
-                    jax.tree_util.tree_leaves(s1.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-5, atol=2e-6)
-    for a, b in zip(jax.tree_util.tree_leaves(s0.batch_stats),
-                    jax.tree_util.tree_leaves(s1.batch_stats)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-5, atol=2e-6)
+    (s0, m0) = outs[0]
+    for s1, m1 in outs[1:]:
+        assert m0["loss"] == pytest.approx(float(m1["loss"]), rel=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                        jax.tree_util.tree_leaves(s1.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s0.batch_stats),
+                        jax.tree_util.tree_leaves(s1.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)

@@ -22,7 +22,10 @@ import time
 import numpy as np
 
 
-def run_one(batch: int, remat: bool):
+def run_one(batch: int, mode: str):
+    """mode: 'off' (no remat), 'full' (per-block nn.remat), or 'conv'
+    (selective policy: save conv outputs, recompute BN/LeakyReLU/MaxPool
+    tails)."""
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +37,8 @@ def run_one(batch: int, remat: bool):
     n_cls, img = 60, 84
     backbone = ResNetRFS(n_blocks=(1, 1, 2, 2), drop_rate=0.1,
                          no_dropblock=True, avg_pool=True,
-                         dtype=jnp.bfloat16, remat=remat)
+                         dtype=jnp.bfloat16, remat=mode != "off",
+                         remat_policy="conv" if mode == "conv" else None)
     tx = optim_lib.sgd_torch(0.05, momentum=0.9, weight_decay=5e-4)
     state = pt.init_pretrain_state(backbone, jax.random.PRNGKey(0),
                                    n_cls, img, tx, with_bias=False)
@@ -66,12 +70,12 @@ def run_one(batch: int, remat: bool):
         t1 = chain(8)
         t2 = chain(32)
     except Exception as e:  # OOM at large batch is itself a data point
-        print(f"RESULT batch={batch} remat={int(remat)} FAILED "
+        print(f"RESULT batch={batch} remat={mode} FAILED "
               f"{type(e).__name__}: {str(e)[:200]}")
         return
     dt = max(t2 - t1, 1e-9) / 24
-    print(f"RESULT batch={batch} remat={int(remat)} ms={dt*1e3:.2f} "
-          f"ips={batch/dt:.0f}")
+    print(f"RESULT batch={batch} remat={mode} ms={dt*1e3:.2f} "
+          f"ips={batch/dt:.0f}", flush=True)
 
 
 def main():
@@ -82,9 +86,10 @@ def main():
 
     batches = [int(b) for b in
                os.environ.get("REMAT_BATCHES", "1024,2048").split(",")]
+    modes = os.environ.get("REMAT_MODES", "off,full,conv").split(",")
     for batch in batches:
-        for remat in (False, True):
-            run_one(batch, remat)
+        for mode in modes:
+            run_one(batch, mode)
 
 
 if __name__ == "__main__":
