@@ -54,7 +54,17 @@ class EpisodeSampler:
 
     def __init__(self, base: SplitData, opt, split: str,
                  phase: Optional[str] = None, fix_seed: bool = True,
-                 use_episodes: bool = False, disjoint_classes: bool = False):
+                 use_episodes: bool = False, disjoint_classes: bool = False,
+                 ref_meta_style: bool = False):
+        # ref_meta_style=True reproduces MetaTieredImageNet/MetaCIFAR100
+        # episode semantics EXACTLY (dataset/tiered_imagenet.py:126-198,
+        # dataset/cifar.py:112-184), which differ from MetaImageNet in three
+        # ways: no class-list shuffle at init (:274-275 is mini-only),
+        # UNSORTED iteration over the sampled classes (tiered_imagenet.py:172
+        # vs mini_imagenet.py:324's np.sort), and way-index labels always
+        # (tiered/cifar have no eval_mode branch).  Byte-parity against the
+        # reference classes: tests/test_reference_sampler_parity.py.
+        self.ref_meta_style = ref_meta_style
         self.base = base
         self.opt = opt
         self.split = split
@@ -86,7 +96,7 @@ class EpisodeSampler:
         if self.use_episodes:
             self._parse_episode_file()
 
-        if self.fix_seed:
+        if self.fix_seed and not self.ref_meta_style:
             np.random.seed(opt.set_seed)
             np.random.shuffle(self.classes)
 
@@ -180,14 +190,19 @@ class EpisodeSampler:
             cls_sampled = np.random.choice(self.classes, self.n_ways, False)
         support_xs, support_ys, query_xs, query_ys = [], [], [], []
         support_gids, query_gids = [], []
-        for idx, cls in enumerate(np.sort(cls_sampled)):
+        # mini sorts the sampled classes (mini_imagenet.py:324); the
+        # tiered/cifar meta classes iterate them in draw order
+        # (tiered_imagenet.py:172, cifar.py:158)
+        cls_iter = cls_sampled if self.ref_meta_style else np.sort(cls_sampled)
+        for idx, cls in enumerate(cls_iter):
             imgs = np.asarray(self.data[cls]).astype("uint8")
             support_ids = np.random.choice(range(imgs.shape[0]),
                                            self.n_shots, False)
             support_xs.append(imgs[support_ids])
             support_gids.append(np.asarray(self.index[cls])[support_ids])
             lbl = idx
-            if self.eval_mode in ["few-shot-incremental-fine-tune"]:
+            if (not self.ref_meta_style
+                    and self.eval_mode in ["few-shot-incremental-fine-tune"]):
                 lbl = cls
             support_ys.append([lbl] * self.n_shots)
             query_ids = np.setxor1d(np.arange(imgs.shape[0]), support_ids)

@@ -198,3 +198,172 @@ def test_base_exemplar_episode_bit_exact_vs_reference(env, reference_path):
     np.testing.assert_array_equal(
         np.asarray(r_sup_x).reshape(ep.support_x.shape),
         ep.support_x.astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# tieredImageNet / CIFAR reference-class oracles (dataset/tiered_imagenet.py,
+# dataset/cifar.py) — splits byte-compared incl. train_b pooling and the
+# sparse-label remap; episodes byte-compared against the reference Meta
+# classes' OWN semantics (unsorted class iteration, way-index labels, no
+# init class shuffle — see EpisodeSampler(ref_meta_style=True))
+# ---------------------------------------------------------------------------
+
+class TieredOpt:
+    set_seed = 5
+    data_aug = True
+    augment_pretrain_wtrainb = True
+    n_ways = 5
+    n_shots = 3
+    n_queries = 4
+    n_test_runs = 6
+    eval_mode = "few-shot"
+    n_aug_support_samples = 3
+    n_base_aug_support_samples = 0
+    n_base_support_samples = 0
+
+
+def _import_reference_module(reference_path, modname):
+    pytest.importorskip("torch")
+    _install_torchvision_stub()
+    sys.path.insert(0, reference_path)
+    try:
+        import importlib
+        mod = importlib.import_module(modname)
+        importlib.reload(mod)
+        return mod
+    finally:
+        sys.path.pop(0)
+
+
+@pytest.fixture(scope="module")
+def tiered_env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tiered_refpar"))
+    synthetic.make_tiered(root, n_classes=20, per_class=12, img_size=8,
+                          seed=0, with_train_b=True)
+    return root
+
+
+@pytest.fixture(scope="module")
+def cifar_env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cifar_refpar"))
+    synthetic.make_cifar(root, n_classes=30, per_class=10, seed=0,
+                         sparse_labels=True)
+    return root
+
+
+def test_tiered_split_bit_exact_vs_reference(tiered_env, reference_path):
+    from subspace_reg_tpu.data.tiered_imagenet import load_tiered_imagenet
+
+    ref_tiered = _import_reference_module(reference_path,
+                                          "dataset.tiered_imagenet")
+    opt = TieredOpt()
+    opt.data_root = tiered_env
+
+    # pretrain phases, INCLUDING the train_b pooling
+    # (dataset/tiered_imagenet.py:42-67)
+    for partition in ("train", "val", "test"):
+        ref = ref_tiered.TieredImageNet(args=opt, partition=partition,
+                                        pretrain=True)
+        ours = load_tiered_imagenet(opt, partition="train", phase=partition,
+                                    pretrain=True)
+        np.testing.assert_array_equal(ref.imgs, ours.imgs)
+        np.testing.assert_array_equal(np.asarray(ref.labels),
+                                      np.asarray(ours.labels))
+        if partition == "train":
+            # pooling doubled the class count: train_a 20 + train_b 10
+            assert max(ours.labels) == 29
+
+    # meta partitions (pretrain=False file layout, :46-47)
+    for partition in ("val", "test"):
+        ref = ref_tiered.TieredImageNet(args=opt, partition=partition,
+                                        pretrain=False)
+        ours = load_tiered_imagenet(opt, partition=partition, pretrain=False)
+        np.testing.assert_array_equal(ref.imgs, ours.imgs)
+        np.testing.assert_array_equal(np.asarray(ref.labels),
+                                      np.asarray(ours.labels))
+
+
+def test_tiered_episodes_bit_exact_vs_reference(tiered_env, reference_path):
+    import torch
+
+    from subspace_reg_tpu.data.tiered_imagenet import load_tiered_imagenet
+
+    ref_tiered = _import_reference_module(reference_path,
+                                          "dataset.tiered_imagenet")
+    opt = TieredOpt()
+    opt.data_root = tiered_env
+
+    identity = lambda x: torch.from_numpy(
+        np.asarray(x).astype(np.float32).copy())
+    ref_ds = ref_tiered.MetaTieredImageNet(
+        args=opt, partition="val", train_transform=identity,
+        test_transform=identity, fix_seed=True)
+
+    val = load_tiered_imagenet(opt, partition="val", pretrain=False)
+    ours = EpisodeSampler(val, opt, split="val", disjoint_classes=False,
+                          ref_meta_style=True)
+
+    for item in range(6):
+        r_sup_x, r_sup_y, r_qry_x, r_qry_y = ref_ds[item]
+        ep = ours.get(item)
+        np.testing.assert_array_equal(
+            np.asarray(r_sup_x).reshape(ep.support_x.shape),
+            ep.support_x.astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(r_sup_y).reshape(-1),
+                                      ep.support_y)
+        np.testing.assert_array_equal(
+            np.asarray(r_qry_x).reshape(ep.query_x.shape),
+            ep.query_x.astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(r_qry_y), ep.query_y)
+
+
+def test_cifar_split_sparse_remap_bit_exact_vs_reference(cifar_env,
+                                                         reference_path):
+    from subspace_reg_tpu.data.cifar import load_cifar
+
+    ref_cifar = _import_reference_module(reference_path, "dataset.cifar")
+    opt = TieredOpt()
+    opt.data_root = cifar_env
+
+    # partition pickles carry SPARSE labels (label*3+1 in the fixture):
+    # the first-appearance dense remap must match dataset/cifar.py:56-66
+    for partition in ("train", "val", "test"):
+        ref = ref_cifar.CIFAR100(args=opt, partition=partition,
+                                 pretrain=True)
+        ours = load_cifar(opt, partition=partition)
+        np.testing.assert_array_equal(ref.imgs, ours.imgs)
+        assert list(ref.labels) == list(ours.labels)
+        assert min(ours.labels) == 0   # remap landed at 0..n
+
+
+def test_cifar_episodes_bit_exact_vs_reference(cifar_env, reference_path):
+    import torch
+
+    from subspace_reg_tpu.data.cifar import load_cifar
+
+    ref_cifar = _import_reference_module(reference_path, "dataset.cifar")
+    opt = TieredOpt()
+    opt.data_root = cifar_env
+
+    identity = lambda x: torch.from_numpy(
+        np.asarray(x).astype(np.float32).copy())
+    ref_ds = ref_cifar.MetaCIFAR100(
+        args=opt, partition="val", train_transform=identity,
+        test_transform=identity, fix_seed=True)
+
+    val = load_cifar(opt, partition="val")
+    ours = EpisodeSampler(val, opt, split="val", disjoint_classes=False,
+                          ref_meta_style=True)
+
+    for item in range(6):
+        r_sup_x, r_sup_y, r_qry_x, r_qry_y = ref_ds[item]
+        ep = ours.get(item)
+        np.testing.assert_array_equal(
+            np.asarray(r_sup_x).reshape(ep.support_x.shape),
+            ep.support_x.astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(r_sup_y).reshape(-1),
+                                      ep.support_y)
+        np.testing.assert_array_equal(
+            np.asarray(r_qry_x).reshape(ep.query_x.shape),
+            ep.query_x.astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(r_qry_y), ep.query_y)
