@@ -79,6 +79,18 @@ class EvalConfig:
     word_embed_size: int = 500
     word_embed_path: str = "word_embeds"
     glove: bool = False
+    # description-embed attractor source (TPU-rebuild extension): the
+    # reference materializes BERT description embeds (util.py:90-130) but
+    # ships no live consumer — its 'description-linear' classifier crashes
+    # in forward (resnet_language.py:184-187) and none of these flags are
+    # registered upstream.  --use_descriptions makes the LangPuller read
+    # description_embeds/<dataset>_<model>_layer<L>_prefix_<bool>.pickle
+    # (the shipped-asset naming) instead of the word-embed pickles.
+    use_descriptions: bool = False
+    description_embed_path: str = "description_embeds"
+    desc_embed_model: str = "bert-base-cased"
+    transformer_layer: int = 6
+    prefix_label: bool = True
     continual: bool = False
     label_pull: Optional[float] = None
     push_away: Optional[float] = None
@@ -274,12 +286,19 @@ def parse_option_eval(argv=None) -> EvalConfig:
     """CLI-parity parser for the incremental-eval entry point."""
     parser = argparse.ArgumentParser("argument for training")
     _add_flags_from_dataclass(parser, EvalConfig, _EVAL_DERIVED)
+    # prefix_label defaults True (the shipped-asset naming); store_true
+    # flags can't be unset, so expose the inverse
+    parser.add_argument("--no_prefix_label", action="store_true",
+                        default=False)
     # conditional registration quirk (reference configs.py:85-87)
     known, _ = parser.parse_known_args(argv)
     if known.label_pull is not None:
         parser.add_argument("--pulling", type=str, default="regularize")
     ns = parser.parse_args(argv)
-    cfg = EvalConfig(**{k: v for k, v in vars(ns).items()})
+    d = {k: v for k, v in vars(ns).items() if k != "no_prefix_label"}
+    if ns.no_prefix_label:
+        d["prefix_label"] = False
+    cfg = EvalConfig(**d)
     return cfg.finalize()
 
 

@@ -135,6 +135,23 @@ def make_tiered(root: str, n_classes: int = 20, per_class: int = 12,
     write("test", np.arange(n_classes // 2))
 
 
+def make_description_embeds(path: str, dataset: str = "miniImageNet",
+                            model: str = "bert-base-cased", layer: int = 6,
+                            prefix: bool = True, dim: int = 768,
+                            n_classes: int = 100, seed: int = 2) -> str:
+    """Description-embed pickle in the reference asset schema:
+    {full class name: np.ndarray(dim)} under the util.py:95-99 filename.
+    Synthetic class names follow class_labels.txt ('synthetic <i>')."""
+    os.makedirs(path, exist_ok=True)
+    r = np.random.RandomState(seed)
+    d = {f"synthetic {i}": r.randn(dim) for i in range(n_classes)}
+    out = os.path.join(
+        path, f"{dataset}_{model}_layer{layer}_prefix_{prefix}.pickle")
+    with open(out, "wb") as f:
+        pickle.dump(d, f)
+    return out
+
+
 def make_word_embeds(path: str, dataset: str = "miniImageNet",
                      dim: int = 500, n_classes: int = 100,
                      seed: int = 1) -> str:

@@ -702,7 +702,7 @@ _FP_EXCLUDE = frozenset({
     "set_seed",            # per-seed RNG stream: PRNGKeys are call args
     "model_path", "reload_path", "data_root",       # I/O paths
     "tb_folder", "save_folder", "tb_path", "model_name",
-    "word_embed_path", "trial",
+    "word_embed_path", "description_embed_path", "trial",
 })
 
 

@@ -43,9 +43,52 @@ def _embed_path(word_embed_path: str, dataset: str, dim: int,
                         f"{dataset}_dim{dim}{suffix}.pickle")
 
 
+def description_embed_path(opt) -> str:
+    """Asset filename contract of the BERT description pickles — the exact
+    format string of reference util.py:95-99 (whose flags are never
+    registered upstream: configs.py defines no --description_embed_path /
+    --desc_embed_model / --transformer_layer / --prefix_label, making the
+    reference's description path dead; here they are live EvalConfig
+    fields).  The shipped assets match it:
+    description_embeds/miniImageNet_bert-base-cased_layer6_prefix_True.pickle.
+    """
+    return os.path.join(
+        opt.description_embed_path,
+        "{0}_{1}_layer{2}_prefix_{3}.pickle".format(
+            opt.dataset, opt.desc_embed_model, opt.transformer_layer,
+            opt.prefix_label))
+
+
+def _description_embeds(opt, vocab: Sequence[str]) -> np.ndarray:
+    """Description-embed lookup: the pickle is keyed by the FULL human class
+    name ({'house finch': vec(768), ...} — verified on the reference's
+    shipped assets), so labels are direct dict lookups (no per-word
+    splitting/averaging like get_embeds).  Values may be torch tensors
+    (the reference pickled tensors) or arrays; np.asarray covers both."""
+    d = load_embed_pickle(description_embed_path(opt))
+    return np.stack([np.asarray(d[name], dtype=np.float32) for name in vocab],
+                    0)
+
+
 def create_lang_puller(opt, vocab_base: Sequence[str],
                        vocab_novel: Sequence[str]) -> LangPullerState:
-    """Build puller state from the word-embedding pickles (reference :21-54)."""
+    """Build puller state from the word-embedding pickles (reference :21-54).
+
+    ``opt.use_descriptions`` swaps the embedding source to the BERT
+    description-embed pickles (util.py:90-130 materializes them; no
+    reference consumer exists — the 'description-linear' classifier
+    crashes in forward, resnet_language.py:184-187 calls nn.Linear with a
+    get_alphas kwarg — so this attractor variant is this framework's live
+    adjudication of that dead path; see docs/PARITY.md)."""
+    if getattr(opt, "use_descriptions", False):
+        # BERT description embeds are used whole: --glove slices the first
+        # 300 dims of the 500-d Vico word vectors (:52-54), a layout that
+        # does not exist in the 768-d description space
+        return LangPullerState(
+            base_embeds=jnp.asarray(_description_embeds(opt, vocab_base)),
+            novel_embeds=jnp.asarray(_description_embeds(opt, vocab_novel)),
+            temperature=float(opt.temperature))
+
     dim = opt.word_embed_size
     pth = _embed_path(opt.word_embed_path, opt.dataset, dim)
     novel = np.asarray(get_embeds(pth, vocab_novel, dim), np.float32)
@@ -69,6 +112,9 @@ def create_lang_puller(opt, vocab_base: Sequence[str],
 def update_novel_embeds(state: LangPullerState, opt,
                         vocab_novel: Sequence[str]) -> LangPullerState:
     """Swap in the next session's novel embeddings (reference :56-65)."""
+    if getattr(opt, "use_descriptions", False):
+        return state.replace(
+            novel_embeds=jnp.asarray(_description_embeds(opt, vocab_novel)))
     dim = opt.word_embed_size
     pth = _embed_path(opt.word_embed_path, opt.dataset, dim)
     novel = np.asarray(get_embeds(pth, vocab_novel, dim), np.float32)
