@@ -175,6 +175,51 @@ def test_tiered_fscil_8_sessions(tmp_path):
     assert np.isfinite(res.acc_novel_avg)
 
 
+def test_tiered_fscil_10_sessions(tmp_path):
+    """BASELINE config 5 names a 'full 10-session FSCIL'.  The reference
+    hardcodes 8 sessions for miniImageNet ONLY (eval/language_eval.py:
+    132-136 'Assumes miniImageNet'); tiered continual takes the CLI value
+    here, so --neval_episodes 10 runs the 10-session protocol end-to-end
+    when the val-partition class budget allows (50 classes / 5 ways = 10).
+    Ledger: docs/PARITY.md 'Session-count protocol'."""
+    root = str(tmp_path / "tiered")
+    synthetic.make_tiered(root, n_classes=100, per_class=8, img_size=16,
+                          seed=0)
+    opt = Opt()
+    opt.dataset = "tieredImageNet"
+    opt.continual = True
+    opt.neval_episodes = 10
+    opt.data_root = root
+    opt.label_pull = 1.0
+    opt.attraction_override = "distance2subspace"
+    opt.memory_replay = 0      # replay index math needs 5/5/5 episodes
+
+    base_test = load_tiered_imagenet(opt, partition="train", phase="test")
+    base_train = load_tiered_imagenet(opt, partition="train", phase="train")
+    novel = load_tiered_imagenet(opt, partition="val", pretrain=False)
+    assert len(set(novel.labels)) == 50
+    assert session_count(opt) == 10
+
+    bb, variables = _tiny_backbone()
+    n_base = 100
+    head0 = head_lib.init_head(jax.random.PRNGKey(2), n_base, in_dim=32,
+                               with_bias=False, max_classes=n_base + 10 * 5)
+    sampler = EpisodeSampler(novel, opt, split="val", disjoint_classes=True)
+    base_support = EpisodeSampler(base_train, opt, split="train",
+                                  phase="train")
+    res = few_shot_finetune_incremental_test(
+        bb, variables, head0, {}, opt, meta_sampler=sampler,
+        base_test_split=base_test, base_support_sampler=base_support,
+        verbose=False, pallas_mode="off")
+
+    assert len(res.acc_novel_list) == 10
+    assert len(res.weighted_avg_l) == 11
+    assert len(res.epochs_per_session) == 10
+    assert all(np.isfinite(v) for v in res.acc_novel_list)
+    # the 10th session fine-tunes a 100 + 10*5 = 150-class head
+    assert np.isfinite(res.acc_base_list[-1])
+
+
 def test_tiered_cli_wiring(tmp_path, monkeypatch):
     """eval_incremental CLI accepts tieredImageNet: loaders built from the
     npz layout, head padded to 351 + sessions*5, engine invoked."""
