@@ -158,6 +158,12 @@ def main(argv=None):
         teacher = (teacher_backbone, t_vars,
                    jnp.asarray(t_head.weight[:n_t]), t_b)
         if opt.distill == "kd":
+            # the KL(student||teacher) term subtracts logit rows — a
+            # class-count mismatch would otherwise surface as an opaque
+            # broadcast TypeError deep inside the jitted step
+            assert n_t == n_cls, (
+                f"--distill kd needs a teacher trained on the same classes: "
+                f"teacher head has {n_t}, this run trains {n_cls}")
             print(f"==> KD teacher: {t_name} ({n_t} classes), "
                   f"T={opt.kd_T} alpha={opt.kd_alpha} beta={opt.kd_beta}")
         else:
