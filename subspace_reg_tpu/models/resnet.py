@@ -61,6 +61,12 @@ class BasicBlock(nn.Module):
     block_size: int = 1
     use_se: bool = False
     dtype: Any = None        # bf16 compute for the MXU; params stay f32
+    tag_conv_outputs: bool = False
+                             # checkpoint_name-tag conv outputs for the
+                             # selective remat policy.  Off by default so
+                             # the production program (and its persistent
+                             # compile-cache entries) is unchanged when no
+                             # policy consumes the tags.
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool,
@@ -71,29 +77,31 @@ class BasicBlock(nn.Module):
         if not self.is_initializing() and self.is_mutable_collection("counters"):
             nbt.value = nbt.value + 1
 
-        # conv outputs are checkpoint_name-tagged so the selective remat
-        # policy (remat_policy='conv') can save them while recomputing the
-        # cheap BN/LeakyReLU/MaxPool tails in the backward — no-op otherwise
+        # conv outputs are checkpoint_name-tagged (only under the selective
+        # remat policy) so remat_policy='conv' can save them while
+        # recomputing the cheap BN/LeakyReLU/MaxPool tails in the backward
+        tag = ((lambda v: checkpoint_name(v, "conv_out"))
+               if self.tag_conv_outputs else (lambda v: v))
         residual = x
         out = conv3x3(self.planes, name="conv1", dtype=self.dtype)(x)
-        out = checkpoint_name(out, "conv_out")
+        out = tag(out)
         out = TorchBatchNorm(self.planes, name="bn1")(out, train, sample_mask)
         out = nn.leaky_relu(out, 0.1)
 
         out = conv3x3(self.planes, name="conv2", dtype=self.dtype)(out)
-        out = checkpoint_name(out, "conv_out")
+        out = tag(out)
         out = TorchBatchNorm(self.planes, name="bn2")(out, train, sample_mask)
         out = nn.leaky_relu(out, 0.1)
 
         out = conv3x3(self.planes, name="conv3", dtype=self.dtype)(out)
-        out = checkpoint_name(out, "conv_out")
+        out = tag(out)
         out = TorchBatchNorm(self.planes, name="bn3")(out, train, sample_mask)
         if self.use_se:
             out = SELayer(self.planes, reduction=4, name="se")(out)
 
         if self.has_downsample:
             residual = conv1x1(self.planes, name="ds_conv", dtype=self.dtype)(x)
-            residual = checkpoint_name(residual, "conv_out")
+            residual = tag(residual)
             residual = TorchBatchNorm(self.planes, name="ds_bn")(
                 residual, train, sample_mask)
         out = out + residual
@@ -202,6 +210,7 @@ class ResNetRFS(nn.Module):
                 use_se=self.use_se)
             blocks = tuple(
                 block_cls(**spec, dtype=self.dtype,
+                          tag_conv_outputs=self.remat_policy == "conv",
                           name=f"layer{li + 1}_{bi}")
                 for bi, spec in enumerate(specs)
             )
