@@ -133,6 +133,7 @@ def test_semantic_subspace_reg(env):
     assert np.isfinite(res.acc_novel_avg)
 
 
+@pytest.mark.slow
 def test_pallas_loop_matches_xla_loop(env):
     """The fused Pallas fine-tune loop (interpret mode on CPU) must
     reproduce the XLA while_loop engine run."""
@@ -147,6 +148,7 @@ def test_pallas_loop_matches_xla_loop(env):
                                atol=0.75)
 
 
+@pytest.mark.slow
 def test_tracked_mode_matches_and_writes_csvs(env, tmp_path, monkeypatch):
     """Per-epoch tracked path must reproduce the compiled session results
     and emit the reference-named CSV artifacts."""
@@ -169,6 +171,7 @@ def test_tracked_mode_matches_and_writes_csvs(env, tmp_path, monkeypatch):
                       "classifier_weight")
 
 
+@pytest.mark.slow
 def test_general_freeze_backbone_at(env):
     """freeze_backbone_at=3: the backbone trains for two epochs per session
     before freezing (reference eval/util.py:62-69 semantics)."""
@@ -181,6 +184,7 @@ def test_general_freeze_backbone_at(env):
     assert np.isfinite(res.acc_novel_avg) and np.isfinite(res.acc_base_avg)
 
 
+@pytest.mark.slow
 def test_adam_optimizer_path(env):
     """--adam uses torch-Adam semantics with wd 5e-4 (eval/util.py:92-96);
     the fused Pallas loop serves it too and must match the XLA loop."""
@@ -289,6 +293,7 @@ def test_verbose_prints_from_compiled_path(env, capsys, monkeypatch):
     assert len(res.acc_novel_list) == 8
 
 
+@pytest.mark.slow
 def test_verbose_trace_matches_tracked_prints(env, capsys):
     """The device-recorded epoch trace reproduces the per-epoch values the
     tracked engine prints live (same loss/acc at the printed epochs)."""
@@ -391,6 +396,7 @@ def test_chunked_eval_forwards_match_unchunked(env):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_verbose_pallas_trace_matches_xla_trace(env, capsys):
     """The per-10-epoch lines printed from the Pallas kernel's device trace
     must equal the XLA while_loop path's, value for value."""

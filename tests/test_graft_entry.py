@@ -15,6 +15,7 @@ def test_entry_forward():
     assert np.all(np.isfinite(np.asarray(out[:, :60])))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

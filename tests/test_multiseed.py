@@ -63,6 +63,7 @@ def _seed_inputs(env, seed, var_seed, lazy=False):
                 base_support=base_support)
 
 
+@pytest.mark.slow
 def test_multiseed_matches_single_seed_runs(env):
     seeds = [3, 6]
     inputs = [_seed_inputs(env, s, 100 + i) for i, s in enumerate(seeds)]
@@ -299,6 +300,7 @@ def test_multiseed_save_preds_matches_single_seed(env, tmp_path,
     assert open(multi_csv[0]).read() == open(single_csv[0]).read()
 
 
+@pytest.mark.slow
 def test_multiseed_bias_head_matches_single_seed(env):
     """Round-3 lift: bias heads run through the vmapped engine (the old
     blanket no-bias assert is gone; only bias+novel-anchor is refused,

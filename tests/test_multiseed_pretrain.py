@@ -379,6 +379,7 @@ def test_run_seeds_pretrain_cli_tiered(tmp_path):
         assert "training_classes" not in meta   # non-continual meta
 
 
+@pytest.mark.slow
 def test_run_seeds_pretrain_cli(env, tmp_path, monkeypatch):
     """The --pretrain --vmap CLI writes per-seed reference-contract
     checkpoints and reports per-seed val accuracy."""

@@ -136,6 +136,7 @@ def test_negative_sampling_excludes_own_class():
         assert hist.max() / hist.min() < 2.0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["nce", "crd"])
 def test_train_supervised_contrastive_cli(tmp_path, mode):
     import train_supervised
@@ -171,6 +172,7 @@ def test_train_supervised_contrastive_cli(tmp_path, mode):
     assert np.all(np.isfinite(w))
 
 
+@pytest.mark.slow
 def test_contrastive_resume_restores_banks_bitexact(tmp_path):
     """Round-3 (VERDICT item 5): --reload_path in contrastive mode restores
     optimizer state, embed-head params and the NCE memory banks bit-exactly

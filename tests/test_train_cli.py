@@ -20,6 +20,7 @@ def roots(tmp_path_factory):
     return data, out
 
 
+@pytest.mark.slow
 def test_train_supervised_cli_and_resume(roots):
     import train_supervised
     data, out = roots
