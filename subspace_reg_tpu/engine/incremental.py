@@ -1602,8 +1602,8 @@ def few_shot_finetune_incremental_test(
             if opt.attraction_override == "mapping_linear_label2image":
                 m = meta["mapping_linear_label2image"]
                 lang_state = lp.with_mapping(lang_state, m["weight"], m["bias"])
-            sem_pullers = np.asarray(lp.pullers(
-                lang_state, w0[: geo.orig_base]))
+            sem_pullers = lp.pullers_host_f64(
+                lang_state, np.asarray(w0[: geo.orig_base]))
 
         # ---- the compiled session ----
         run_vars = {"params": params_bb, "batch_stats": batch_stats,

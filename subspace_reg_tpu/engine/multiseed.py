@@ -394,9 +394,11 @@ def few_shot_finetune_multiseed(
                     m = per_seed_meta[s_i]["mapping_linear_label2image"]
                     lang_state[s_i] = lp.with_mapping(
                         lang_state[s_i], m["weight"], m["bias"])
-                sem = np.asarray(lp.pullers(
-                    lang_state[s_i],
-                    jnp.asarray(w0[s_i, : geo.orig_base])))
+                # f64 host computation, rounded once to f32 — the same
+                # library-independent value the single-seed engine uses
+                # (see lp.pullers_host_f64)
+                sem = lp.pullers_host_f64(
+                    lang_state[s_i], np.asarray(w0[s_i, : geo.orig_base]))
             sem_stack.append(sem)
 
         if idx >= 1:

@@ -147,6 +147,32 @@ def pullers(state: LangPullerState, base_weight: jax.Array,
     return probs @ base_weight
 
 
+def pullers_host_f64(state: LangPullerState,
+                     base_weight: np.ndarray) -> np.ndarray:
+    """Host-side attractors computed in float64, rounded ONCE to f32.
+
+    Used on the session-dispatch path (engine/incremental.py), where the
+    attractor is a per-session constant.  The reference computes this in
+    f32 on a GPU (resnet_language.py:75-87) — no f32 accumulation order is
+    canonical — and an XLA-f32 value differing from a torch-f32 oracle's
+    at ~1e-5 is enough to shift the convergence-stop epoch by a handful of
+    epochs at the golden epsilon (1e-4) in near-flat 900-epoch sessions.
+    A float64 intermediate makes the f32 result library-independent: every
+    BLAS rounds the same real number to the same float."""
+    e_n = np.asarray(state.novel_embeds, np.float64)
+    if state.mapping_weight is not None:
+        out = e_n @ np.asarray(state.mapping_weight, np.float64).T
+        if state.mapping_bias is not None:
+            out = out + np.asarray(state.mapping_bias, np.float64)
+        return out.astype(np.float32)
+    e_b = np.asarray(state.base_embeds, np.float64)
+    scores = (e_n @ e_b.T) / float(state.temperature)
+    scores -= scores.max(axis=1, keepdims=True)
+    p = np.exp(scores)
+    p /= p.sum(axis=1, keepdims=True)
+    return (p @ np.asarray(base_weight, np.float64)).astype(np.float32)
+
+
 def pull_loss(gamma: float, inspired: jax.Array, weights: jax.Array,
               row_mask: Optional[jax.Array] = None) -> jax.Array:
     """gamma * ||inspired - weights||^2 — SQUARED norm (reference loss1, :89-90).
