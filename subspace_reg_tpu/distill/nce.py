@@ -41,14 +41,55 @@ def init_nce_average(rng: jax.Array, output_size: int, input_size: int,
         params=jnp.asarray([k, temperature, -1.0, -1.0, momentum]))
 
 
+# How the (B, K+1) contrast dot products are formed.  Measured on the v5e
+# (tools/exp_nce_micro.py, reference geometry B=512 K=16384 D=128 N=11712):
+# TPU gather cost is per gathered ROW OP (~3.6ns), not per byte — an 8.4M
+# scalar-score gather times the same as an 8.4M 512-byte-row gather.  Hence:
+#   'paired' (default via 'auto'): ONE (B, K+1, 2D) gather from the
+#       feature-concatenated banks serves BOTH views (the reference uses the
+#       same idx for both, NCEAverage.py forward) — halves the dominant
+#       gather-op count.  Bit-identical dot products (same 128-wide
+#       contractions over the same values).
+#   'gather': two per-bank (B, K+1, D) row gathers (the naive mapping).
+#   'matmul': full-bank MXU matmul + scalar gather from the score matrix —
+#       measured NEGATIVE result: forward ties (gather-op bound) and the
+#       take_along_axis backward is a giant scatter-add (+282ms/step).
+CONTRAST_MODE = "auto"  # auto | paired | gather | matmul (A/B module global)
+
+
 def _contrast(memory: jax.Array, v: jax.Array, idx: jax.Array,
               temperature: float, z: jax.Array):
     """out[i, j] = exp(<memory[idx[i,j]], v[i]> / T) / Z."""
-    weight = memory[idx]                          # (B, K+1, D)
-    out = jnp.einsum("bkd,bd->bk", weight, v)
+    if CONTRAST_MODE == "matmul":
+        scores = jnp.einsum("bd,nd->bn", v, memory)   # (B, N) on the MXU
+        out = jnp.take_along_axis(scores, idx, axis=1)
+    else:
+        weight = memory[idx]                          # (B, K+1, D)
+        out = jnp.einsum("bkd,bd->bk", weight, v)
     out = jnp.exp(out / temperature)
     z_new = jnp.where(z < 0, jnp.mean(out) * memory.shape[0], z)
     return out / z_new, z_new
+
+
+def _contrast_paired(memory_ab: jax.Array, memory_l: jax.Array,
+                     l: jax.Array, ab: jax.Array, idx: jax.Array,
+                     temperature, z_l: jax.Array, z_ab: jax.Array):
+    """Both views' contrasts from ONE row gather of the feature-concatenated
+    banks (same idx on both sides, reference NCEAverage.py forward)."""
+    b, d = l.shape
+    kp1 = idx.shape[1]
+    mem = jnp.concatenate([memory_ab, memory_l], axis=1)   # (N, 2D)
+    w = mem[idx]                                           # (B, K+1, 2D)
+    # split the pair on a fresh axis (a free minor-dim view — feature-dim
+    # SLICES would relayout two 4.3GB copies) and contract both views in one
+    # batched einsum: out[...,0] = w_ab.l, out[...,1] = w_l.ab
+    w4 = w.reshape(b, kp1, 2, d)
+    v = jnp.stack([l, ab], axis=1)                         # (B, 2, D)
+    out = jnp.exp(jnp.einsum("bktd,btd->bkt", w4, v) / temperature)
+    out_l, out_ab = out[..., 0], out[..., 1]
+    z_l = jnp.where(z_l < 0, jnp.mean(out_l) * memory_ab.shape[0], z_l)
+    z_ab = jnp.where(z_ab < 0, jnp.mean(out_ab) * memory_l.shape[0], z_ab)
+    return out_l / z_l, out_ab / z_ab, z_l, z_ab
 
 
 def _update_bank(memory: jax.Array, v: jax.Array, y: jax.Array,
@@ -114,8 +155,13 @@ def nce_forward(state: NCEAverageState, sampler_draw, l: jax.Array,
 
     # reference orientation (NCEAverage.py forward): out_l contrasts the
     # *l* view against the *ab* bank (weight_ab . l) and vice versa
-    out_l, z_l = _contrast(state.memory_ab, l, idx, t, state.z_l)
-    out_ab, z_ab = _contrast(state.memory_l, ab, idx, t, state.z_ab)
+    if CONTRAST_MODE in ("auto", "paired"):
+        out_l, out_ab, z_l, z_ab = _contrast_paired(
+            state.memory_ab, state.memory_l, l, ab, idx, t,
+            state.z_l, state.z_ab)
+    else:
+        out_l, z_l = _contrast(state.memory_ab, l, idx, t, state.z_l)
+        out_ab, z_ab = _contrast(state.memory_l, ab, idx, t, state.z_ab)
 
     new_state = state.replace(
         memory_l=_update_bank(state.memory_l, l, y, momentum),

@@ -58,6 +58,51 @@ def test_nce_forward_and_bank_update():
     assert np.isfinite(float(nce_softmax_loss(out_l)))
 
 
+def test_contrast_matmul_matches_gather():
+    """The full-bank-matmul contrast path (the TPU-fast one) computes the
+    same (B, K+1) outputs and the same cotangents as the row-gather path
+    (reference semantics, distill/NCEAverage.py forward)."""
+    from subspace_reg_tpu.distill import nce as nce_mod
+
+    n_data, dim, k, b = 64, 16, 40, 4
+    st = init_nce_average(jax.random.PRNGKey(0), n_data, dim, k)
+    r = np.random.RandomState(3)
+    l = l2_normalize(jnp.asarray(r.randn(b, dim), jnp.float32))
+    ab = l2_normalize(jnp.asarray(r.randn(b, dim), jnp.float32))
+    y = jnp.asarray([1, 5, 9, 13])
+    idx = jnp.asarray(r.randint(0, n_data, size=(b, k + 1)), jnp.int32)
+    idx = idx.at[:, 0].set(y)
+
+    def run(mode):
+        old = nce_mod.CONTRAST_MODE
+        nce_mod.CONTRAST_MODE = mode
+
+        def f(l_, ab_):
+            o_l, o_ab, _ = nce_forward(st, None, l_, ab_, y,
+                                       jax.random.PRNGKey(0), idx=idx)
+            return o_l, o_ab
+
+        try:
+            outs = f(l, ab)
+            loss = lambda l_, ab_: (nce_loss(f(l_, ab_)[0], n_data)
+                                    + nce_loss(f(l_, ab_)[1], n_data))
+            grads = jax.grad(loss, argnums=(0, 1))(l, ab)
+        finally:
+            nce_mod.CONTRAST_MODE = old
+        return outs, grads
+
+    (gl, gab), (ggl, ggab) = run("gather")
+    for mode in ("matmul", "paired", "auto"):
+        (ml, mab), (mgl, mgab) = run(mode)
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(ml), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(gab), np.asarray(mab),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(ggl), np.asarray(mgl),
+                                   rtol=2e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(ggab), np.asarray(mgab),
+                                   rtol=2e-4, atol=1e-7)
+
+
 def test_label_smoothing_matches_torch_reference_formula():
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
