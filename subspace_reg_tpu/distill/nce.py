@@ -55,12 +55,13 @@ def init_nce_average(rng: jax.Array, output_size: int, input_size: int,
 #       measured NEGATIVE result: forward ties (gather-op bound) and the
 #       take_along_axis backward is a giant scatter-add (+282ms/step).
 CONTRAST_MODE = "auto"  # auto | paired | gather | matmul (A/B module global)
+_CONTRAST_MODES = ("auto", "paired", "gather", "matmul")
 
 
 def _contrast(memory: jax.Array, v: jax.Array, idx: jax.Array,
-              temperature: float, z: jax.Array):
+              temperature: float, z: jax.Array, mode: str):
     """out[i, j] = exp(<memory[idx[i,j]], v[i]> / T) / Z."""
-    if CONTRAST_MODE == "matmul":
+    if mode == "matmul":
         scores = jnp.einsum("bd,nd->bn", v, memory)   # (B, N) on the MXU
         out = jnp.take_along_axis(scores, idx, axis=1)
     else:
@@ -135,13 +136,24 @@ def full_softmax_loss(out: jax.Array, y: jax.Array) -> jax.Array:
 
 def nce_forward(state: NCEAverageState, sampler_draw, l: jax.Array,
                 ab: jax.Array, y: jax.Array, rng: jax.Array,
-                idx: Optional[jax.Array] = None
+                idx: Optional[jax.Array] = None,
+                mode: Optional[str] = None
                 ) -> Tuple[jax.Array, jax.Array, NCEAverageState]:
     """Contrast both views against K sampled negatives + the positive.
 
     ``sampler_draw(key, shape)`` supplies negatives (AliasSampler.draw or a
-    uniform fallback).  Returns (out_l, out_ab, new_state).
+    uniform fallback).  ``mode`` picks the contrast lowering (one of
+    ``_CONTRAST_MODES``); when None it reads the module global
+    CONTRAST_MODE *at trace time* — i.e. set the global BEFORE any jitted
+    step is constructed, or pass ``mode`` explicitly (a recompiled step per
+    mode) for A/B comparisons.  Returns (out_l, out_ab, new_state).
     """
+    if mode is None:
+        mode = CONTRAST_MODE
+    if mode not in _CONTRAST_MODES:
+        raise ValueError(
+            f"unknown NCE contrast mode {mode!r}; expected one of "
+            f"{_CONTRAST_MODES}")
     t = state.params[1]            # traced scalars: jit-safe
     momentum = state.params[4]
     b = l.shape[0]
@@ -155,13 +167,13 @@ def nce_forward(state: NCEAverageState, sampler_draw, l: jax.Array,
 
     # reference orientation (NCEAverage.py forward): out_l contrasts the
     # *l* view against the *ab* bank (weight_ab . l) and vice versa
-    if CONTRAST_MODE in ("auto", "paired"):
+    if mode in ("auto", "paired"):
         out_l, out_ab, z_l, z_ab = _contrast_paired(
             state.memory_ab, state.memory_l, l, ab, idx, t,
             state.z_l, state.z_ab)
     else:
-        out_l, z_l = _contrast(state.memory_ab, l, idx, t, state.z_l)
-        out_ab, z_ab = _contrast(state.memory_l, ab, idx, t, state.z_ab)
+        out_l, z_l = _contrast(state.memory_ab, l, idx, t, state.z_l, mode)
+        out_ab, z_ab = _contrast(state.memory_l, ab, idx, t, state.z_ab, mode)
 
     new_state = state.replace(
         memory_l=_update_bank(state.memory_l, l, y, momentum),

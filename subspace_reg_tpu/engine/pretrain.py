@@ -198,7 +198,8 @@ def init_nce_training(rng, state: PretrainState, tx, teacher_feat_dim: int,
 def make_train_step_nce(backbone, tx, spec: AugmentSpec, with_bias: bool,
                         teacher, embed_s, embed_t, n_data: int,
                         nce_k: int, kd_alpha: float = 1.0,
-                        kd_beta: float = 1.0, mode: str = "nce"):
+                        kd_beta: float = 1.0, mode: str = "nce",
+                        contrast_mode: str = None):
     """Contrastive-distillation pretraining step (device-resident dataset).
 
     One fused jitted step reproducing the RFS NCE recipe the reference's
@@ -221,9 +222,22 @@ def make_train_step_nce(backbone, tx, spec: AugmentSpec, with_bias: bool,
 
     ``mode='crd'`` uses the InfoNCE softmax criterion (reference
     NCESoftmaxLoss) instead of the NCE criterion.
+
+    ``contrast_mode`` pins the NCE contrast lowering (paired/gather/matmul)
+    at step-construction time; None resolves the module global
+    ``distill.nce.CONTRAST_MODE`` HERE (not at trace time), so mutating the
+    global after this call has no effect on the returned step — each A/B arm
+    must construct its own step.
     """
     from ..distill.criterion import nce_loss, nce_softmax_loss
-    from ..distill.nce import nce_forward
+    from ..distill.nce import CONTRAST_MODE, _CONTRAST_MODES, nce_forward
+
+    if contrast_mode is None:
+        contrast_mode = CONTRAST_MODE
+    if contrast_mode not in _CONTRAST_MODES:
+        raise ValueError(
+            f"unknown NCE contrast mode {contrast_mode!r}; expected one of "
+            f"{_CONTRAST_MODES}")
 
     t_module, t_vars, _, _ = teacher
 
@@ -248,7 +262,8 @@ def make_train_step_nce(backbone, tx, spec: AugmentSpec, with_bias: bool,
                            feat_t.astype(jnp.float32))
 
         out_l, out_ab, nce_state = nce_forward(
-            nce_state, None, l, ab, items, rng, idx=idx)
+            nce_state, None, l, ab, items, rng, idx=idx,
+            mode=contrast_mode)
         if mode == "crd":
             contrast = (nce_softmax_loss(jnp.log(jnp.maximum(out_l, 1e-20)))
                         + nce_softmax_loss(

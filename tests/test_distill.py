@@ -74,22 +74,22 @@ def test_contrast_matmul_matches_gather():
     idx = idx.at[:, 0].set(y)
 
     def run(mode):
-        old = nce_mod.CONTRAST_MODE
-        nce_mod.CONTRAST_MODE = mode
-
         def f(l_, ab_):
             o_l, o_ab, _ = nce_forward(st, None, l_, ab_, y,
-                                       jax.random.PRNGKey(0), idx=idx)
+                                       jax.random.PRNGKey(0), idx=idx,
+                                       mode=mode)
             return o_l, o_ab
 
-        try:
-            outs = f(l, ab)
-            loss = lambda l_, ab_: (nce_loss(f(l_, ab_)[0], n_data)
-                                    + nce_loss(f(l_, ab_)[1], n_data))
-            grads = jax.grad(loss, argnums=(0, 1))(l, ab)
-        finally:
-            nce_mod.CONTRAST_MODE = old
+        outs = f(l, ab)
+        loss = lambda l_, ab_: (nce_loss(f(l_, ab_)[0], n_data)
+                                + nce_loss(f(l_, ab_)[1], n_data))
+        grads = jax.grad(loss, argnums=(0, 1))(l, ab)
         return outs, grads
+
+    with pytest.raises(ValueError, match="unknown NCE contrast mode"):
+        nce_forward(st, None, l, ab, y, jax.random.PRNGKey(0), idx=idx,
+                    mode="pared")
+    assert nce_mod.CONTRAST_MODE == "auto"  # explicit arg leaves the default
 
     (gl, gab), (ggl, ggab) = run("gather")
     for mode in ("matmul", "paired", "auto"):

@@ -8,7 +8,7 @@ reference K=16384 — the BASELINE config 5 contract, distill/NCEAverage.py)
 and slope-times the full fused NCE step (device-resident dataset) under
 each contrast mode.
 
-  NCE_CONTRAST=gather|matmul|auto BENCH_MODE=nce|crd python tools/exp_nce_contrast.py
+  NCE_CONTRAST=gather|paired|matmul|auto BENCH_MODE=nce|crd python tools/exp_nce_contrast.py
 """
 
 import os
