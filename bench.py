@@ -133,12 +133,30 @@ def main():
     else:
         vs_baseline = 0.0
 
-    print(json.dumps({
+    # second, falsifiable denominator: the COMPOSED achievable SOL — the sum
+    # of every bare op in this step measured standalone on this chip
+    # (tools/exp_glue_sol.py; derivation in BASELINE.md "Composed achievable
+    # SOL").  Assumes zero cross-op overlap, so >1.0 is possible and would
+    # falsify the instrument.  vs_baseline (raw 0.9x-peak roofline) is kept
+    # unchanged for cross-round continuity.
+    vs_composed = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "composed_sol.json")) as f:
+            sol = json.load(f)
+        vs_composed = round(ips / float(sol["composed_sol_ips"]), 4)
+    except Exception:
+        pass
+
+    out = {
         "metric": "images/sec/chip",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
-    }))
+    }
+    if vs_composed is not None:
+        out["vs_composed_sol"] = vs_composed
+    print(json.dumps(out))
     return ips
 
 
