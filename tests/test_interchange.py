@@ -100,3 +100,42 @@ def test_nce_full_softmax():
     assert np.isfinite(float(loss)) and float(loss) > 0
     upd = np.asarray(st2.memory_l[np.asarray(y)])
     np.testing.assert_allclose(np.linalg.norm(upd, axis=1), 1.0, rtol=1e-5)
+
+
+def test_learn_mapping_pth_save_is_torch_format(tmp_path):
+    """A --save_path ending in .pth must be REAL torch interchange bytes —
+    load_any dispatches on the extension, so a native-format file named
+    .pth is unreadable (the bug the round-5 hardware parity-gate run
+    caught).  Round-trip: native ckpt -> learn_mapping -> .pth ->
+    load_any, mapping preserved (reference learn_mapping.py:37-39)."""
+    pytest.importorskip("torch")
+    import learn_mapping
+    from subspace_reg_tpu.data import synthetic
+    from subspace_reg_tpu.models import head as head_lib
+    from subspace_reg_tpu.models.resnet import ResNetRFS
+    from subspace_reg_tpu.utils.checkpoint import load_any, save_checkpoint
+
+    m = ResNetRFS(n_blocks=(1, 1, 1, 1), drop_rate=0.0, no_dropblock=True,
+                  avg_pool=True, widths=(4, 8, 12, 16))
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                      train=False)
+    head = head_lib.init_head(jax.random.PRNGKey(1), 10, in_dim=16,
+                              with_bias=False, max_classes=10)
+    src = str(tmp_path / "backbone.ckpt")
+    save_checkpoint(src, dict(variables), head, {
+        "epoch": 1, "training_classes": list(range(10)),
+        "label2human": [f"synthetic_{i}" for i in range(10)]})
+
+    embeds_dir = str(tmp_path / "embeds")
+    synthetic.make_word_embeds(embeds_dir, n_classes=10)
+    out = str(tmp_path / "backbone_with_mapping.pth")
+    learn_mapping.main(["--model_path", src, "--save_path", out,
+                        "--word_embed_path", embeds_dir])
+
+    # must be loadable through the .pth (torch) pathway
+    _, head2, meta2 = load_any(out)
+    mapping = meta2["mapping_linear_label2image"]
+    assert mapping["weight"].shape == (16, 300)   # glove slice, out x in
+    assert mapping["bias"].shape == (16,)
+    np.testing.assert_array_equal(np.asarray(head2.weight)[:10],
+                                  np.asarray(head.weight)[:10])

@@ -68,8 +68,29 @@ def export_state_dict(variables, head):
     return sd
 
 
-def main(argv=None):
+def write_pth(variables, head, meta, out_path):
+    """Write the reference's .pth interchange ckpt (train_supervised.py:
+    180-202 keys), incl. the linear-mapping state_dict when present
+    (reference learn_mapping.py:37-39: LinearMap keys map.weight/map.bias,
+    the shape utils/torch_import.py:143-147 reads back)."""
     import torch
+    sd = export_state_dict(variables, head)
+    state = {"model": sd, "epoch": meta.get("epoch", 0)}
+    if meta.get("training_classes") is not None:
+        state["training_classes"] = meta["training_classes"]
+    if meta.get("label2human") is not None:
+        state["label2human"] = meta["label2human"]
+    mapping = meta.get("mapping_linear_label2image")
+    if mapping is not None:
+        state["mapping_linear_label2image"] = {
+            "map.weight": torch.from_numpy(
+                np.asarray(mapping["weight"], np.float32).copy()),
+            "map.bias": torch.from_numpy(
+                np.asarray(mapping["bias"], np.float32).copy())}
+    torch.save(state, out_path)
+
+
+def main(argv=None):
     from subspace_reg_tpu.utils.checkpoint import load_any
 
     p = argparse.ArgumentParser()
@@ -78,13 +99,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     variables, head, meta = load_any(args.ckpt)
-    sd = export_state_dict(variables, head)
-    state = {"model": sd, "epoch": meta.get("epoch", 0)}
-    if meta.get("training_classes") is not None:
-        state["training_classes"] = meta["training_classes"]
-    if meta.get("label2human") is not None:
-        state["label2human"] = meta["label2human"]
-    torch.save(state, args.out)
+    write_pth(variables, head, meta, args.out)
     print("exported", args.out)
 
 

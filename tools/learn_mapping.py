@@ -92,7 +92,15 @@ def main(argv=None):
 
     meta = dict(meta)
     meta["mapping_linear_label2image"] = {"weight": w, "bias": b}
-    save_checkpoint(args.save_path, variables, head, meta)
+    if args.save_path.endswith(".pth"):
+        # reference interchange format (learn_mapping.py:37-39 appends the
+        # LinearMap state_dict to the torch ckpt); load_any dispatches .pth
+        # to the torch reader, so the bytes must actually BE torch format
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from export_pth import write_pth
+        write_pth(variables, head, meta, args.save_path)
+    else:
+        save_checkpoint(args.save_path, variables, head, meta)
     print("saved", args.save_path)
 
 
