@@ -135,6 +135,12 @@ def pullers(state: LangPullerState, base_weight: jax.Array,
             mask_diagonal: bool = False) -> jax.Array:
     """Semantic attractors (reference forward, :75-87). (n_novel, 640)."""
     if state.mapping_weight is not None:
+        if state.novel_embeds.shape[1] != state.mapping_weight.shape[1]:
+            raise ValueError(
+                f"mapping expects {state.mapping_weight.shape[1]}-d label "
+                f"embeds, got {state.novel_embeds.shape[1]}-d — pass --glove "
+                f"to match learn_mapping's GloVe slice "
+                f"(reference slurm_linear_mapping.sh:53)")
         out = state.novel_embeds @ state.mapping_weight.T
         if state.mapping_bias is not None:
             out = out + state.mapping_bias
@@ -161,7 +167,15 @@ def pullers_host_f64(state: LangPullerState,
     BLAS rounds the same real number to the same float."""
     e_n = np.asarray(state.novel_embeds, np.float64)
     if state.mapping_weight is not None:
-        out = e_n @ np.asarray(state.mapping_weight, np.float64).T
+        w = np.asarray(state.mapping_weight, np.float64)
+        if e_n.shape[1] != w.shape[1]:
+            raise ValueError(
+                f"mapping expects {w.shape[1]}-d label embeds but the puller "
+                f"holds {e_n.shape[1]}-d ones — the LinearMap is trained on "
+                f"the GloVe slice (learn_mapping.py, --glove default), so the "
+                f"eval config must pass --glove too "
+                f"(reference slurm_linear_mapping.sh:53)")
+        out = e_n @ w.T
         if state.mapping_bias is not None:
             out = out + np.asarray(state.mapping_bias, np.float64)
         return out.astype(np.float32)

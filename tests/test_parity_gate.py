@@ -80,3 +80,21 @@ def test_golden_configs_cover_all_eval_scripts():
     lm = parity_gate.CONFIGS["linear_mapping"]
     assert lm[lm.index("--label_pull") + 1] == "0.1"
     assert "mapping_linear_label2image" in lm
+    # the mapping is trained on the 300-d GloVe slice (learn_mapping.py);
+    # eval must slice to match (reference slurm_linear_mapping.sh:53)
+    assert "--glove" in lm
+
+
+def test_mapping_dim_mismatch_raises_helpfully():
+    """500-d embeds against a 300-d-trained LinearMap must fail fast with a
+    message pointing at --glove, not a cryptic gufunc error."""
+    import jax.numpy as jnp
+    import numpy as np
+    from subspace_reg_tpu.models import lang_puller as lp
+    state = lp.LangPullerState(
+        base_embeds=jnp.zeros((4, 500)), novel_embeds=jnp.zeros((2, 500)),
+        mapping_weight=jnp.zeros((8, 300)), mapping_bias=jnp.zeros((8,)))
+    with pytest.raises(ValueError, match="--glove"):
+        lp.pullers_host_f64(state, np.zeros((4, 8), np.float32))
+    with pytest.raises(ValueError, match="--glove"):
+        lp.pullers(state, jnp.zeros((4, 8)))

@@ -70,11 +70,12 @@ CONFIGS = {
                               "--lmbd_reg_novel", "0.1", "--label_pull",
                               "0.2", "--glove", "--temperature", "3.0",
                               "--weight_decay", "5e-4"],
-    # slurm_linear_mapping.sh:34-56
+    # slurm_linear_mapping.sh:34-56 (--glove at :53 — the mapping is
+    # trained on the 300-d GloVe slice, so eval must slice to match)
     "linear_mapping": ["--learning_rate", "0.002",
                        "--lmbd_reg_transform_w", "0.2",
                        "--lmbd_reg_novel", "0.1", "--label_pull", "0.1",
-                       "--attraction_override",
+                       "--glove", "--attraction_override",
                        "mapping_linear_label2image"],
 }
 
