@@ -114,10 +114,17 @@ def make_tiered(root: str, n_classes: int = 20, per_class: int = 12,
     dataset/tiered_imagenet.py:42-56)."""
     os.makedirs(root, exist_ok=True)
     r = np.random.RandomState(seed)
+    # ONE palette row per (partition, class): a class's phase_train/val/test
+    # images must share its color signature (the mini fixture gets this for
+    # free — all.pickle is a single blob split into rows), otherwise base
+    # accuracy is structurally stuck at chance and FSCIL traces are
+    # uninformative; but the train_b/val/test PARTITIONS are class-disjoint
+    # from train_a in the real tieredImageNet, so each gets its own rows
+    palette = r.randint(30, 226, size=(n_classes * 3, 3))
 
-    def write(prefix, classes):
+    def write(prefix, classes, palette_off=0):
         labels = np.repeat(classes, per_class)
-        base = r.randint(30, 226, size=(len(classes), 3))
+        base = palette[np.asarray(classes) + palette_off]
         imgs = (base[np.repeat(np.arange(len(classes)), per_class)]
                 [:, None, None, :]
                 + r.randint(-25, 26,
@@ -129,10 +136,11 @@ def make_tiered(root: str, n_classes: int = 20, per_class: int = 12,
 
     for phase in ("train", "val", "test"):
         write(f"train_a_train_a_phase_{phase}", np.arange(n_classes))
+    half = n_classes // 2
     if with_train_b:
-        write("train_b", np.arange(n_classes // 2))
-    write("val", np.arange(n_classes // 2))
-    write("test", np.arange(n_classes // 2))
+        write("train_b", np.arange(half), palette_off=n_classes)
+    write("val", np.arange(half), palette_off=n_classes + half)
+    write("test", np.arange(half), palette_off=n_classes + 2 * half)
 
 
 def make_description_embeds(path: str, dataset: str = "miniImageNet",
